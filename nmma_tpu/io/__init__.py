@@ -1,0 +1,9 @@
+from .photometry import (load_em_observations, mjd_from_isot,
+                         cut_data_to_time_range, shift_to_trigger_time)
+
+__all__ = [
+    "load_em_observations",
+    "mjd_from_isot",
+    "cut_data_to_time_range",
+    "shift_to_trigger_time",
+]

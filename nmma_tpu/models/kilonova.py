@@ -1,0 +1,344 @@
+"""Semi-analytic kilonova kernels (Me2017, HoNa2020, blackbody family).
+
+TPU-native re-implementations of the physics in
+``nmma/em/lightcurve_generation.py:365-783``. Design departures from the
+NumPy reference, all driven by XLA/TPU:
+
+* the Me2017 multi-shell Euler loop (300 mass shells x T times,
+  ``eff_metzger_lc``, reference :566-652) becomes a ``lax.scan`` over the
+  time axis with the shell axis vectorized on the VPU — identical
+  update equations, static shapes, fully differentiable and vmappable
+  over a live-point batch;
+* the HoNa2020 ``solve_ivp`` call (reference :654-771) becomes a fixed-grid
+  RK4 integrator in log-time (adaptive stepping is replaced by a grid dense
+  enough to dominate the reference's rtol=1e-3 default accuracy);
+* all luminosities/energies are carried in scaled units (L/1e40, masses in
+  Msun) so every intermediate stays inside float32 range — the f32 analogue
+  of the reference's repeated ``/1e20`` rescalings;
+* magnitudes are assembled in log space via ``blackbody_ab_mag``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (arad, c_cgs, msun_cgs, seconds_a_day, sigSB)
+from ..ops.interp import masked_interp_linear
+from ..ops.photometry import blackbody_ab_mag, flux_to_ab_mag
+from .base import SourceModel, register_source_model
+
+_MPREC = 300           # number of ejecta mass shells (reference :417)
+_L_SCALE = 1e40        # luminosities tracked as L / 1e40 for f32 headroom
+_MSUN_OVER_L = msun_cgs / _L_SCALE
+
+
+def _thermalisation_efficiency(t_day, ca=0.56, cb=0.17, cd=0.74):
+    """Barnes+16 eq. 34 fit (reference :423-428)."""
+    timescale_factor = 2.0 * cb * t_day**cd
+    eff = jnp.exp(-ca * t_day) + jnp.log1p(timescale_factor) / timescale_factor
+    return 0.36 * eff
+
+
+def heating_rate_korobkin_rosswog(t_sec, eth=0.5):
+    """Korobkin et al. 2012 r-process specific heating rate [erg/g/s].
+
+    Reference: ``heating_rate_Korobkin_Rosswog``
+    (nmma/em/lightcurve_generation.py:366-395).
+    """
+    eps0, t0, sig, alpha = 2e18, 1.3, 0.11, 1.3
+    x = (t_sec - t0) / sig
+    # 0.5 - arctan(x)/pi suffers f32 cancellation for large x (the physical
+    # regime: t in days => x ~ 1e6); use the identity
+    # 0.5 - arctan(x)/pi == arctan(1/x)/pi for x > 0.
+    safe_x = jnp.where(x > 1.0, x, 1.0)
+    time_term = jnp.where(
+        x > 1.0,
+        jnp.arctan(1.0 / safe_x) / jnp.pi,
+        0.5 - jnp.arctan(jnp.minimum(x, 1.0)) / jnp.pi,
+    )
+    return 2.0 * eps0 * eth * jnp.power(time_term, alpha)
+
+
+# ---------------------------------------------------------------------------
+# Me2017 — Metzger (2017) multi-shell analytic kilonova
+# ---------------------------------------------------------------------------
+def me2017_mags(params, t_days, nu_host):
+    """Me2017 absolute AB magnitudes, [F, T].
+
+    Physics identical to ``eff_metzger_lc``
+    (nmma/em/lightcurve_generation.py:566-652): free-neutron + r-process
+    heating of geometrically spaced mass shells, Euler-integrated shell
+    energies, photosphere at tau=1, blackbody photometry.
+    """
+    mej = 10.0 ** params["log10_mej"]                  # [Msun]
+    v0 = 10.0 ** params["log10_vej"] * c_cgs           # [cm/s]
+    beta = params["beta"]
+    kappa_r = 10.0 ** params["log10_kappa_r"]
+
+    t = t_days * seconds_a_day                         # [T]
+    n_t = t.shape[0]
+
+    # shell mass grid: geomspace(1e-8, mej) with traced endpoint
+    frac = jnp.arange(_MPREC) / (_MPREC - 1)
+    log_m = -8.0 + (jnp.log10(mej) + 8.0) * frac
+    m = 10.0 ** log_m                                  # [Msun]
+    vm = v0 * jnp.power(m / mej, -1.0 / beta)
+    vm = jnp.minimum(vm, c_cgs)
+
+    # shell composition (Ye = 0.1, Mn = 1e-8 Msun; reference :578-592)
+    xn0 = 0.8 * 2.0 / jnp.pi * jnp.arctan(1e-8 / m)
+    xr = 1.0 - xn0
+
+    eth = _thermalisation_efficiency(t_days)           # [T]
+
+    m_s, vm_s, dm = m[:-1], vm[:-1], jnp.diff(m)       # [S=299]
+    xn0_s, xr_s = xn0[:-1], xr[:-1]
+
+    dt = jnp.diff(t)
+
+    def step(ene, inputs):
+        t_j, dt_j, t_day_j, eth_j = inputs
+        xn = xn0_s * jnp.exp(-t_j / 900.0)
+        edot = 3.2e14 * xn + 2.1e10 * eth_j * t_day_j ** (-1.3)
+        kappa = 0.4 * (1.0 - xn - xr_s) + kappa_r * xr_s
+
+        tdiff = 0.24 * kappa * m_s * msun_cgs / (vm_s * c_cgs * t_j * beta)
+        tau = m_s * msun_cgs * kappa / (4.0 * jnp.pi * (t_j * vm_s) ** 2)
+        lum_specific = ene / (tdiff + t_j * vm_s / c_cgs)   # [erg/g/s]
+        # total luminosity in units of 1e40 erg/s (f32-safe)
+        ltot40 = jnp.sum(lum_specific * dm) * _MSUN_OVER_L
+
+        ene_next = ene + dt_j * (edot - ene / t_j - lum_specific)
+
+        pig = jnp.argmin(jnp.abs(tau - 1.0))
+        r_photo = vm_s[pig] * t_j
+        return ene_next, (ltot40, r_photo)
+
+    ene0 = jnp.zeros(_MPREC - 1)
+    _, (ltot40, r_photo) = jax.lax.scan(
+        step, ene0, (t[:-1], dt, t_days[:-1], eth[:-1])
+    )
+    # the final grid point is never integrated (reference loop bound :617)
+    ltot40 = jnp.concatenate([ltot40, jnp.zeros(1)])
+    r_photo = jnp.concatenate([r_photo, jnp.zeros(1)])
+
+    # T_eff = (L / 4 pi R^2 sigma)^(1/4), assembled with f32-safe scaling
+    r_ok = r_photo > 0.0
+    r_safe = jnp.where(r_ok, r_photo, 1.0)
+    q = jnp.abs(ltot40) * (_L_SCALE * 1e-20) / (4.0 * jnp.pi * sigSB) / (
+        (r_safe * 1e-10) ** 2
+    )
+    t_obs = jnp.where(r_ok & (q > 0.0), q ** 0.25, jnp.nan)
+
+    # fill invalid temperatures by linear inter/extrapolation on the time
+    # grid (reference: autocomplete_data on Tobs, :645-648)
+    t_obs = masked_interp_linear(t_days, t_days, t_obs)
+    inv_t = jnp.where(jnp.isfinite(t_obs) & (t_obs > 0.0), 1.0 / t_obs, jnp.inf)
+
+    return blackbody_ab_mag(nu_host, inv_t, r_photo)
+
+
+# ---------------------------------------------------------------------------
+# HoNa2020 — Hotokezaka & Nakar velocity-shell kilonova
+# ---------------------------------------------------------------------------
+_HONA_NSHELLS = 100
+_HONA_STEPS = 300      # RK4 grid; replaces solve_ivp (reference :750-752)
+
+
+def _erfc(x):
+    return jax.lax.erfc(x)
+
+
+def _hona_luminosity40(e40, t, td, be):
+    """Shell luminosity / 1e40 (reference ``luminosity_HoNa`` :677-686)."""
+    t_dif = td / t
+    tesc = jnp.minimum(t, t_dif) + be * t
+    ymax = jnp.sqrt(0.5 * t_dif / t)
+    return _erfc(ymax) * e40 / tesc
+
+
+def hona2020_mags(params, t_days, nu_host):
+    """HoNa2020 absolute AB magnitudes, [F, T].
+
+    Physics identical to ``HoNa_lc``/``temp_photosphere_HoNa``
+    (nmma/em/lightcurve_generation.py:654-771) with the adaptive ODE solver
+    replaced by fixed-grid RK4 in time and the log-log cubic spline replaced
+    by log-log linear interpolation on a dense solver grid.
+    """
+    t = t_days * seconds_a_day
+    mej = 10.0 ** params["log10_mej"] * msun_cgs
+    vej_min = params["vej_min"]
+    vej_max = params["vej_max"]
+    vej = params["vej_frac"] * (vej_max - vej_min) + vej_min
+    velocities = jnp.stack([vej_min, vej, vej_max])
+    opacities = jnp.stack([10.0 ** params["log10_kappa_low_vej"],
+                           10.0 ** params["log10_kappa_high_vej"]])
+    n = params.get("n", 4.5)
+
+    be_0, be_max = velocities[0], velocities[-1]
+    # inverse-log-spaced velocity grid (reference :713-716)
+    frac = jnp.arange(_HONA_NSHELLS) / (_HONA_NSHELLS - 1)
+    geo = be_0 * jnp.power(be_max / be_0, frac)
+    bes = jnp.flip(be_max + be_0 - geo)[:-1]                   # [S=99]
+    dbe = jnp.diff(jnp.concatenate([bes, be_max[None]]))
+
+    idx = jnp.searchsorted(velocities, bes)                     # in {1, 2}
+    bej_power = jnp.power(velocities / be_0, 1.0 - n)           # [3]
+    bes_power = jnp.power(bes / be_0, 1.0 - n)
+
+    tau_accum = -jnp.cumsum(jnp.flip(opacities * jnp.diff(bej_power)))
+    tau_accum = jnp.concatenate([jnp.flip(tau_accum), jnp.zeros(1)])
+    taus = tau_accum[idx] + opacities[idx - 1] * (bes_power - bej_power[idx])
+
+    vej_0 = be_0 * c_cgs
+    rho_0 = mej * (n - 3.0) / (4.0 * jnp.pi * vej_0**3) / (
+        1.0 - jnp.power(be_max / be_0, 3.0 - n)
+    )
+    taus = taus * vej_0 * rho_0 / (n - 1.0)
+
+    bes_power_2n = jnp.power(bes / be_0, 2.0 - n)
+    # shell masses / 1e40 g for f32 headroom. NOTE: the 1e40 scale must be
+    # applied as two in-range f32 factors — a bare 1e40 literal is inf in f32.
+    dms40 = (4.0 * jnp.pi * vej_0**3 * 1e-20) * rho_0 * bes_power_2n * \
+        dbe / be_0 * 1e-20
+    tds = taus * bes
+
+    # --- energy ODE, RK4 on a log grid covering the sample times ---------
+    t_start, t_end = t[0], t[-1]
+    sfrac = jnp.arange(_HONA_STEPS) / (_HONA_STEPS - 1)
+    tgrid = t_start * jnp.power(t_end / t_start, sfrac)
+
+    def rhs(e40, t_now):
+        heat = dms40 * heating_rate_korobkin_rosswog(t_now)
+        lum = _hona_luminosity40(e40, t_now, tds, bes)
+        return -e40 / t_now - lum + heat
+
+    def rk4_step(e40, ts):
+        t0, t1 = ts
+        h = t1 - t0
+        k1 = rhs(e40, t0)
+        k2 = rhs(e40 + 0.5 * h * k1, t0 + 0.5 * h)
+        k3 = rhs(e40 + 0.5 * h * k2, t0 + 0.5 * h)
+        k4 = rhs(e40 + h * k3, t1)
+        e_next = e40 + h / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        lum40 = jnp.sum(_hona_luminosity40(e_next, t1, tds, bes))
+        return e_next, lum40
+
+    e0 = jnp.zeros(_HONA_NSHELLS - 1)
+    _, lum40_grid = jax.lax.scan(rk4_step, e0, (tgrid[:-1], tgrid[1:]))
+
+    # log-log interpolation of L(t) onto the sample times (reference :758-763)
+    log_l = jnp.log(jnp.maximum(lum40_grid, 1e-30))
+    lbol40 = jnp.exp(jnp.interp(jnp.log(t), jnp.log(tgrid[1:]), log_l))
+
+    # photosphere: solve tau(be) = t^2 in log-log space (reference :764-768)
+    log_taus = jnp.log(jnp.flip(taus))
+    log_bes = jnp.log(jnp.flip(bes))
+    be_ph = jnp.exp(jnp.interp(2.0 * jnp.log(t), log_taus, log_bes))
+    r_photo = be_ph * t * c_cgs
+
+    # inverse temperature, f32-safe scaling:
+    # 1/T = (sigSB 4 pi R^2 / L)^(1/4)
+    q = (sigSB * 4.0 * jnp.pi / 1e20) * (r_photo * 1e-10) ** 2 / jnp.maximum(
+        lbol40, 1e-30
+    )
+    inv_t = jnp.power(q, 0.25)
+    return blackbody_ab_mag(nu_host, inv_t, r_photo)
+
+
+# ---------------------------------------------------------------------------
+# Blackbody family + synchrotron (reference :773-812)
+# ---------------------------------------------------------------------------
+def _inv_temp_photosphere_from_params(params):
+    """Constant-T blackbody: R from L and T (reference :786-793)."""
+    inv_temp = 1.0 / params["temperature"]
+    r_photo = jnp.sqrt(params["bb_luminosity"] / (4.0 * jnp.pi * sigSB)) * \
+        inv_temp * inv_temp
+    return inv_temp, r_photo
+
+
+def blackbody_fixed_t_mags(params, t_days, nu_host):
+    inv_temp, r_photo = _inv_temp_photosphere_from_params(params)
+    n_t = t_days.shape[0]
+    return blackbody_ab_mag(
+        nu_host, jnp.full((n_t,), inv_temp), jnp.full((n_t,), r_photo)
+    )
+
+
+def powerlaw_blackbody_fixed_t_mags(params, t_days, nu_host, filters=None):
+    """Blackbody + nu^-beta power law anchored at the 'g' band.
+
+    Reference: ``powerlaw_blackbody_constant_temperature_lc``
+    (nmma/em/lightcurve_generation.py:800-813); the power-law amplitude is
+    set by ``powerlaw_mag`` evaluated at the host-frame 'g' frequency.
+    """
+    from ..constants import AB_ZP_CGS, abs_mag_dist_factor, h, kb
+    from ..ops.photometry import log_expm1
+
+    inv_temp, r_photo = _inv_temp_photosphere_from_params(params)
+    beta = params["beta"]
+    g_idx = filters.index("g") if filters is not None and "g" in filters else 0
+    nu = jnp.asarray(nu_host)[:, None]
+    nu_ref = jnp.asarray(nu_host)[g_idx]
+
+    prefactor = jnp.power(nu_ref, beta) * 10.0 ** (
+        -0.4 * (params["powerlaw_mag"] - AB_ZP_CGS)
+    )
+    f_pl = prefactor * jnp.power(nu, -beta)
+
+    import math
+    x = jnp.maximum(h * nu * inv_temp / kb, 1e-30)
+    log_bb = (math.log(2.0 * h) - 2.0 * math.log(c_cgs) + 3.0 * jnp.log(nu)
+              - log_expm1(x) + 2.0 * jnp.log(r_photo)
+              - math.log(abs_mag_dist_factor))
+    f_total = jnp.exp(jnp.minimum(log_bb, 80.0)) + f_pl
+    mags = flux_to_ab_mag(f_total)
+    return jnp.broadcast_to(mags, (nu_host.shape[0], t_days.shape[0]))
+
+
+def synchrotron_powerlaw_mags(params, t_days, nu_host):
+    """Synchrotron power law F = F_ref nu^-beta t^-alpha (reference :773-783).
+
+    The reference defines F_ref at the observer, so the detector-frame
+    distance modulus is removed here (it is re-added by the assembly).
+    """
+    beta = params["beta_freq"]
+    alpha = params["alpha_time"]
+    f_ref = params["F_ref"]
+    nu = jnp.asarray(nu_host)[:, None]
+    f_pl = f_ref * jnp.power(nu, -beta) * jnp.power(t_days[None, :], -alpha)
+    return flux_to_ab_mag(f_pl, unit="mJy") - params["distance_modulus"]
+
+
+register_source_model(SourceModel(
+    name="Me2017", parameter_names=tuple(
+        ["log10_mej", "log10_vej", "beta", "log10_kappa_r"]),
+    mags_fn=me2017_mags,
+    citation="Metzger (2017), LRR 20, 3",
+))
+register_source_model(SourceModel(
+    name="HoNa2020",
+    parameter_names=("log10_mej", "vej_max", "vej_min", "vej_frac",
+                     "log10_kappa_low_vej", "log10_kappa_high_vej"),
+    mags_fn=hona2020_mags,
+    default_time_grid=lambda: np.geomspace(5e-2, 14.0, 150),
+    citation="Hotokezaka & Nakar (2020), ApJ 891, 152",
+))
+register_source_model(SourceModel(
+    name="blackbody_fixedT",
+    parameter_names=("bb_luminosity", "temperature"),
+    mags_fn=blackbody_fixed_t_mags,
+))
+register_source_model(SourceModel(
+    name="PL_BB_fixedT",
+    parameter_names=("bb_luminosity", "temperature", "beta", "powerlaw_mag"),
+    mags_fn=powerlaw_blackbody_fixed_t_mags,
+    needs_filters=True,
+))
+register_source_model(SourceModel(
+    name="synchrotron_powerlaw",
+    parameter_names=("alpha_time", "beta_freq", "F_ref", "luminosity_distance"),
+    mags_fn=synchrotron_powerlaw_mags,
+))

@@ -1,0 +1,100 @@
+"""Masked 1-D interpolation — the universal resampling primitive.
+
+TPU-native re-design of the reference's ``autocomplete_data``
+(``nmma/em/utils.py:626-677``): that function drops non-finite samples with
+boolean indexing (dynamic shapes) and dispatches on an ``extrapolate``
+string. Under XLA everything must be static-shaped, so invalid samples are
+instead pushed to the far end of a sorted copy of the abscissa and the
+interpolation is evaluated densely, with extrapolation policies applied as
+``where`` masks. All functions are pure, jittable, and vmap-friendly.
+
+Semantics matched to the reference:
+  * samples with non-finite ``y`` (or ``valid=False``) are ignored;
+  * fewer than 2 valid samples => the whole output is ``fill_value``
+    (reference: ``ref_value=np.inf``);
+  * ``masked_interp_fill``  == ``autocomplete_data(..., extrapolate=<float>)``;
+  * ``masked_interp_linear`` == ``autocomplete_data(..., extrapolate='linear')``
+    (two-point linear extrapolation from each edge);
+  * constant (clamp) extrapolation via ``masked_interp(..., mode='constant')``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30  # sentinel abscissa for invalid samples; finite so f32 math stays NaN-free
+
+
+def _prepare(x, y, valid):
+    """Sort samples so valid ones come first in ascending x order."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    ok = jnp.isfinite(y) & jnp.isfinite(x)
+    if valid is not None:
+        ok = ok & valid
+    n_valid = jnp.sum(ok)
+    xv = jnp.where(ok, x, _BIG)
+    order = jnp.argsort(xv)
+    xs = xv[order]
+    ys = jnp.where(ok, y, 0.0)[order]
+
+    idx_last = jnp.maximum(n_valid - 1, 0)
+    y_last = jnp.take(ys, idx_last)
+    x_last = jnp.take(xs, idx_last)
+    # pad the invalid tail with a flat continuation of the last valid sample
+    arange = jnp.arange(xs.shape[0])
+    ys = jnp.where(arange < n_valid, ys, y_last)
+    return xs, ys, n_valid, x_last
+
+
+def masked_interp(xq, x, y, valid=None, left=None, right=None, mode="constant",
+                  fill_value=jnp.inf):
+    """Interpolate ``y(x)`` onto ``xq``, ignoring invalid samples.
+
+    Parameters
+    ----------
+    xq : query points, any shape
+    x, y : 1-D sample arrays (need not be pre-filtered; invalid allowed)
+    valid : optional boolean mask on the samples
+    left, right : out-of-range fill values; ``None`` selects ``mode``
+    mode : 'constant' clamps at the edges (np.interp default)
+    fill_value : output when fewer than 2 valid samples exist
+    """
+    xq = jnp.asarray(xq)
+    xs, ys, n_valid, x_last = _prepare(x, y, valid)
+    res = jnp.interp(xq, xs, ys)
+    if left is not None:
+        res = jnp.where(xq < xs[0], left, res)
+    if right is not None:
+        res = jnp.where(xq > x_last, right, res)
+    return jnp.where(n_valid >= 2, res, fill_value)
+
+
+def masked_interp_fill(xq, x, y, fill, valid=None):
+    """Out-of-range points get ``fill`` (reference: ``extrapolate=np.inf``)."""
+    return masked_interp(xq, x, y, valid=valid, left=fill, right=fill,
+                         fill_value=fill)
+
+
+def masked_interp_linear(xq, x, y, valid=None, fill_value=jnp.inf):
+    """Linear extrapolation from the two edge samples on each side.
+
+    Mirrors ``autocomplete_data(..., extrapolate='linear')``
+    (nmma/em/utils.py:652-663).
+    """
+    xq = jnp.asarray(xq)
+    xs, ys, n_valid, x_last = _prepare(x, y, valid)
+    res = jnp.interp(xq, xs, ys)
+
+    x0, y0 = xs[0], ys[0]
+    x1, y1 = xs[1], ys[1]
+    im = jnp.maximum(n_valid - 2, 0)
+    xm, ym = jnp.take(xs, im), jnp.take(ys, im)
+    xn, yn = x_last, jnp.take(ys, jnp.maximum(n_valid - 1, 0))
+
+    lo_slope = (y1 - y0) / jnp.where(x1 != x0, x1 - x0, 1.0)
+    hi_slope = (yn - ym) / jnp.where(xn != xm, xn - xm, 1.0)
+    res = jnp.where(xq < x0, y0 + lo_slope * (xq - x0), res)
+    res = jnp.where(xq > xn, yn + hi_slope * (xq - xn), res)
+    return jnp.where(n_valid >= 2, res, fill_value)

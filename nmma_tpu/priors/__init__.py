@@ -1,0 +1,10 @@
+from .core import (Constraint, Cosine, DeltaFunction, Gaussian, Interped,
+                   LogUniform, PowerLaw, Prior, PriorDict, Sine,
+                   TruncatedGaussian, Uniform)
+from .parser import load_prior_file, parse_prior_dict
+
+__all__ = [
+    "Prior", "PriorDict", "Uniform", "DeltaFunction", "Sine", "Cosine",
+    "PowerLaw", "Gaussian", "TruncatedGaussian", "LogUniform", "Interped",
+    "Constraint", "load_prior_file", "parse_prior_dict",
+]
