@@ -1,0 +1,143 @@
+"""EM-analysis orchestration: data -> model -> likelihood -> sampler.
+
+TPU-native counterpart of ``nmma/em/analysis.py:110-173`` (analysis_setup)
+and the ``bilby_sampling`` driver (``nmma/core/base.py:290-369``): instead
+of assembling bilby objects around an external sampler, this composes a
+pure unit-cube log-likelihood (prior transform -> parameter conversion ->
+light-curve model -> photometric likelihood, all jitted together) and runs
+the vectorized nested sampler on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inference import NestedSampler, NestedSamplerConfig
+from .io import (cut_data_to_time_range, load_em_observations,
+                 remove_nondetections, shift_to_trigger_time)
+from .likelihood import EMLikelihood, PhotometryData, SystematicsModel
+from .models import DetectorLightCurveModel
+from .priors import PriorDict, load_prior_file
+
+
+@dataclass
+class EMAnalysisConfig:
+    model: str = "Me2017"
+    prior_file: str = None
+    light_curve_data: str = None
+    trigger_time: float = 0.0
+    data_tmin: float = 0.0
+    data_tmax: float = np.inf
+    filters: list = None
+    tmin: float = 0.01
+    tmax: float = 14.0
+    n_tsteps: int = 150
+    error_budget: float = 1.0
+    systematics_file: str = None
+    detection_limit: float = np.inf
+    remove_nondetections: bool = False
+    outdir: str = "outdir"
+    label: str = "injection"
+    sampler: NestedSamplerConfig = field(default_factory=NestedSamplerConfig)
+
+
+class EMAnalysis:
+    """Single-messenger photometric parameter estimation."""
+
+    def __init__(self, config: EMAnalysisConfig, data=None, priors=None):
+        self.config = config
+        cfg = config
+
+        if data is None:
+            data = load_em_observations(cfg.light_curve_data)
+        data = cut_data_to_time_range(data, cfg.trigger_time, cfg.data_tmin,
+                                      cfg.data_tmax)
+        data = shift_to_trigger_time(data, cfg.trigger_time)
+        if cfg.remove_nondetections:
+            data = remove_nondetections(data)
+        if cfg.filters:
+            data = {f: data[f] for f in cfg.filters if f in data}
+        self.data_dict = data
+        self.filters = sorted(data.keys())
+
+        sample_times = np.geomspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
+        self.model = DetectorLightCurveModel(cfg.model, self.filters,
+                                             sample_times=sample_times)
+
+        self.priors: PriorDict = priors if priors is not None else \
+            load_prior_file(cfg.prior_file)
+
+        photo, _ = PhotometryData.from_dict(data, self.filters)
+        systematics = SystematicsModel(
+            self.filters, cfg.systematics_file, cfg.error_budget,
+            model_time_range=(cfg.tmin, cfg.tmax))
+        systematics.finalize(list(self.priors.keys()))
+        self.likelihood = EMLikelihood(
+            self.model, photo, self.filters, systematics,
+            detection_limit=cfg.detection_limit)
+
+        self._batched_logl = jax.vmap(self._unit_logl)
+
+    # -- pure composition ---------------------------------------------------
+    def _unit_logl(self, u):
+        params = self.priors.transform(u)
+        logl = self.likelihood.log_likelihood(params)
+        constraint = self.priors.constraint_log_prob(params)
+        return jnp.where(jnp.isfinite(constraint), logl, -1e30)
+
+    def batched_logl(self, u_batch):
+        return self._batched_logl(u_batch)
+
+    # -- driver -------------------------------------------------------------
+    def run(self, verbose=True, checkpoint=True):
+        cfg = self.config
+        os.makedirs(cfg.outdir, exist_ok=True)
+        sampler = NestedSampler(self.batched_logl, self.priors.ndim,
+                                cfg.sampler)
+        ckpt = os.path.join(cfg.outdir,
+                            f"{cfg.label}_checkpoint_resume.npz") \
+            if checkpoint else None
+        result = sampler.run(verbose=verbose, checkpoint_path=ckpt,
+                             resume=checkpoint)
+        self.result = result
+        self.save_result()
+        return result
+
+    # -- posterior ----------------------------------------------------------
+    def posterior_samples(self, result=None, rng=None):
+        result = result or self.result
+        idx = result.posterior_indices(rng)
+        u = jnp.asarray(result.samples_u[idx])
+        params = self.priors.transform(u)
+        out = {k: np.asarray(v) for k, v in params.items()}
+        out["log_likelihood"] = result.logl[idx]
+        return out
+
+    def bestfit_parameters(self, result=None):
+        result = result or self.result
+        i_best = int(np.argmax(result.logl))
+        u = jnp.asarray(result.samples_u[i_best])
+        params = self.priors.transform(u)
+        return {k: float(np.asarray(v)) for k, v in params.items()}
+
+    def save_result(self, result=None):
+        cfg = self.config
+        result = result or self.result
+        post = self.posterior_samples(result)
+        np.savez(os.path.join(cfg.outdir, f"{cfg.label}_result.npz"),
+                 logz=result.logz, logz_err=result.logz_err,
+                 ncall=result.ncall, niter=result.niter,
+                 **{f"posterior_{k}": v for k, v in post.items()})
+        bestfit = self.bestfit_parameters(result)
+        bestfit["log_likelihood"] = float(result.logl.max())
+        bestfit["log_evidence"] = result.logz
+        bestfit["log_evidence_err"] = result.logz_err
+        with open(os.path.join(cfg.outdir, f"{cfg.label}_bestfit_params.json"),
+                  "w") as f:
+            json.dump(bestfit, f, indent=2)
