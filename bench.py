@@ -24,7 +24,7 @@ sys.path.insert(0, REPO)
 DATA = "/root/reference/example_files/lightcurves/AT2017gfo.dat"
 PRIOR = "/root/reference/priors/Me2017.prior"
 TRIGGER_MJD = 57982.5285236896
-BATCH = 1024
+BATCH = 4096
 TIMED_ITERS = 10
 
 

@@ -123,13 +123,16 @@ class Cosmology:
         dl = (1.0 + z) * dc
         return z, dl
 
+    # NOTE: keep the grids as host numpy arrays — creating device arrays
+    # lazily from a cached_property inside an active jit trace leaks
+    # tracers; numpy constants embed safely into any jaxpr.
     @functools.cached_property
-    def z_grid(self) -> jnp.ndarray:
-        return jnp.asarray(self._tables[0])
+    def z_grid(self) -> np.ndarray:
+        return self._tables[0]
 
     @functools.cached_property
-    def dl_grid(self) -> jnp.ndarray:
-        return jnp.asarray(self._tables[1])
+    def dl_grid(self) -> np.ndarray:
+        return self._tables[1]
 
     # -- jittable conversions ------------------------------------------------
     def luminosity_distance(self, z):

@@ -33,7 +33,7 @@ from jax.scipy.special import log_ndtr
 
 from ..filters import resolve_filter
 from ..models.base import DetectorLightCurveModel
-from ..ops.interp import masked_interp_fill
+from ..ops.interp import masked_interp_sorted_fill
 from .systematics import SystematicsModel
 
 _NEG_INF = -1e30  # finite stand-in for nan_to_num(-inf); safe in f32
@@ -162,7 +162,8 @@ class EMLikelihood:
             w = self._helper_weights[f_idx]
             vals = []
             for k in range(rows.shape[0]):
-                interp = masked_interp_fill(
+                # model time grids are monotone -> sort-free masked interp
+                interp = masked_interp_sorted_fill(
                     t_q, obs_times_model, model_mags[rows[k]], jnp.inf)
                 vals.append(jnp.where(w[k] > 0.0, interp * w[k], 0.0))
             return sum(vals)

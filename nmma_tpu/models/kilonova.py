@@ -64,7 +64,95 @@ def heating_rate_korobkin_rosswog(t_sec, eth=0.5):
 # ---------------------------------------------------------------------------
 # Me2017 — Metzger (2017) multi-shell analytic kilonova
 # ---------------------------------------------------------------------------
+def _me2017_setup(params, t_days):
+    """Shared shell grids and per-(time, shell) coefficient tensors."""
+    mej = 10.0 ** params["log10_mej"]                  # [Msun]
+    v0 = 10.0 ** params["log10_vej"] * c_cgs           # [cm/s]
+    beta = params["beta"]
+    kappa_r = 10.0 ** params["log10_kappa_r"]
+
+    t = t_days * seconds_a_day                         # [T]
+
+    frac = jnp.arange(_MPREC) / (_MPREC - 1)
+    log_m = -8.0 + (jnp.log10(mej) + 8.0) * frac
+    m = 10.0 ** log_m                                  # [Msun]
+    vm = jnp.minimum(v0 * jnp.power(m / mej, -1.0 / beta), c_cgs)
+    xn0 = 0.8 * 2.0 / jnp.pi * jnp.arctan(1e-8 / m)
+    xr = 1.0 - xn0
+    eth = _thermalisation_efficiency(t_days)
+    return mej, v0, beta, kappa_r, t, m, vm, xn0, xr, eth
+
+
 def me2017_mags(params, t_days, nu_host):
+    """Me2017 absolute AB magnitudes, [F, T] — parallel-in-time form.
+
+    The reference's Euler shell loop (``eff_metzger_lc``,
+    nmma/em/lightcurve_generation.py:566-652) is *affine* in the shell
+    energy: e_{j+1} = a_j e_j + b_j with a, b independent of e. The whole
+    time recurrence therefore collapses to a prefix composition of affine
+    maps evaluated with ``lax.associative_scan`` — O(log T) depth instead
+    of 150 sequential micro-steps, which is what lets the MXU/VPU see
+    large fused [B, T, S] blocks. Arithmetic is identical to the
+    sequential version up to floating-point reassociation (validated
+    against the f64 oracle in tests).
+    """
+    _, _, beta, kappa_r, t, m, vm, xn0, xr, eth = _me2017_setup(
+        params, t_days)
+
+    m_s, vm_s, dm = m[:-1], vm[:-1], jnp.diff(m)       # [S]
+    xn0_s, xr_s = xn0[:-1], xr[:-1]
+    dt = jnp.diff(t)                                   # [T-1]
+
+    t_j = t[:-1, None]                                 # [T-1, 1]
+    dt_j = dt[:, None]
+    xn = xn0_s[None, :] * jnp.exp(-t_j / 900.0)        # [T-1, S]
+    edot = 3.2e14 * xn + 2.1e10 * (eth[:-1] * t_days[:-1] ** (-1.3))[:, None]
+    kappa = 0.4 * (1.0 - xn - xr_s[None, :]) + kappa_r * xr_s[None, :]
+
+    tdiff = 0.24 * kappa * (m_s * msun_cgs)[None, :] / (
+        (vm_s * c_cgs)[None, :] * t_j * beta)
+    denom = tdiff + t_j * (vm_s / c_cgs)[None, :]      # [T-1, S]
+
+    a = 1.0 - dt_j / t_j - dt_j / denom
+    b = dt_j * edot
+
+    # prefix-compose the affine maps: ene_{j} = B_{j-1} (ene_0 = 0)
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, a2 * b1 + b2
+
+    _, b_prefix = jax.lax.associative_scan(combine, (a, b), axis=0)
+    ene = jnp.concatenate([jnp.zeros_like(b[:1]), b_prefix[:-1]], axis=0)
+
+    lum_specific = ene / denom                         # [T-1, S]
+    ltot40 = (lum_specific @ dm) * _MSUN_OVER_L        # [T-1]
+
+    tau = (m_s * msun_cgs)[None, :] * kappa / (
+        4.0 * jnp.pi * (t_j * vm_s[None, :]) ** 2)
+    pig = jnp.argmin(jnp.abs(tau - 1.0), axis=1)       # [T-1]
+    r_photo = vm_s[pig] * t[:-1]
+
+    ltot40 = jnp.concatenate([ltot40, jnp.zeros(1)])
+    r_photo = jnp.concatenate([r_photo, jnp.zeros(1)])
+    return _me2017_photometry(ltot40, r_photo, t_days, nu_host)
+
+
+def _me2017_photometry(ltot40, r_photo, t_days, nu_host):
+    """Shared tail: effective temperature + blackbody magnitudes."""
+    r_ok = r_photo > 0.0
+    r_safe = jnp.where(r_ok, r_photo, 1.0)
+    q = jnp.abs(ltot40) * (_L_SCALE * 1e-20) / (4.0 * jnp.pi * sigSB) / (
+        (r_safe * 1e-10) ** 2
+    )
+    t_obs = jnp.where(r_ok & (q > 0.0), q ** 0.25, jnp.nan)
+    t_obs = masked_interp_linear(t_days, t_days, t_obs)
+    inv_t = jnp.where(jnp.isfinite(t_obs) & (t_obs > 0.0), 1.0 / t_obs,
+                      jnp.inf)
+    return blackbody_ab_mag(nu_host, inv_t, r_photo)
+
+
+def me2017_mags_sequential(params, t_days, nu_host):
     """Me2017 absolute AB magnitudes, [F, T].
 
     Physics identical to ``eff_metzger_lc``

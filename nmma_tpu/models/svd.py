@@ -1,0 +1,190 @@
+"""SVD light-curve surrogates: batched MLP + projection eval on the MXU.
+
+TPU-native re-design of ``SVDLightCurveModel`` + ``eval_svd_model``
+(``nmma/em/model.py:535-731``, ``nmma/em/lightcurve_generation.py:142-217``).
+The reference evaluates one keras MLP per filter per likelihood call
+(single-theta, dict-of-filters); here all per-filter networks are stacked
+into `[F, ...]` weight tensors so one einsum chain evaluates *every filter
+for every live point at once*:
+
+    x  = (theta - pmin) / (pmax - pmin)              [B, P]
+    h  = relu(x . W1[f] + b1[f])                     [B, F, H]
+    c  = h . W2[f] + b2[f]                           [B, F, C]
+    m  = VA[f] . c[f] * (maxs - mins) + mins         [B, F, T_svd]
+
+— three MXU matmuls, no per-filter Python. The result is interpolated
+onto the requested sample times with inf outside the trained range
+(reference ``calc_svd_lc`` :147-178).
+
+Model data lives in an .npz of plain arrays (our format) and can also be
+ingested from the reference's artifacts (joblib core + per-filter
+keras/h5 weights) via ``ingest_nmma_svd_model``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import masked_interp_sorted_fill
+from .base import SourceModel, register_source_model
+
+
+@dataclass(frozen=True)
+class SVDModelData:
+    """Stacked surrogate tensors for one model family."""
+
+    filters: tuple            # F filter names
+    parameter_names: tuple    # P parameter names
+    tt: np.ndarray            # [T] surrogate time grid (days)
+    va: np.ndarray            # [F, T, C]
+    mins: np.ndarray          # [F, T]
+    maxs: np.ndarray          # [F, T]
+    param_mins: np.ndarray    # [P]
+    param_maxs: np.ndarray    # [P]
+    w1: np.ndarray            # [F, P, H]
+    b1: np.ndarray            # [F, H]
+    w2: np.ndarray            # [F, H, C]
+    b2: np.ndarray            # [F, C]
+
+    @property
+    def n_coeff(self):
+        return self.va.shape[-1]
+
+    def save(self, path):
+        np.savez_compressed(
+            path, tt=self.tt, va=self.va, mins=self.mins, maxs=self.maxs,
+            param_mins=self.param_mins, param_maxs=self.param_maxs,
+            w1=self.w1, b1=self.b1, w2=self.w2, b2=self.b2,
+            filters=np.asarray(self.filters),
+            parameter_names=np.asarray(self.parameter_names))
+
+    @classmethod
+    def load(cls, path):
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            filters=tuple(str(f) for f in z["filters"]),
+            parameter_names=tuple(str(p) for p in z["parameter_names"]),
+            tt=z["tt"], va=z["va"], mins=z["mins"], maxs=z["maxs"],
+            param_mins=z["param_mins"], param_maxs=z["param_maxs"],
+            w1=z["w1"], b1=z["b1"], w2=z["w2"], b2=z["b2"])
+
+
+def svd_surrogate_mags(svd: SVDModelData, params, t_days, mag_ncoeff=None):
+    """Evaluate the stacked surrogate -> [F, T_out] absolute magnitudes."""
+    theta = jnp.stack([jnp.asarray(params[p]) for p in svd.parameter_names])
+    x = (theta - svd.param_mins) / (svd.param_maxs - svd.param_mins)  # [P]
+
+    n_c = svd.n_coeff if mag_ncoeff is None else min(mag_ncoeff, svd.n_coeff)
+    w2 = svd.w2[..., :n_c]
+    b2 = svd.b2[..., :n_c]
+    va = svd.va[..., :n_c]
+
+    h = jax.nn.relu(jnp.einsum("p,fph->fh", x, jnp.asarray(svd.w1)) +
+                    svd.b1)                                     # [F, H]
+    c = jnp.einsum("fh,fhc->fc", h, jnp.asarray(w2)) + b2       # [F, C]
+    m = jnp.einsum("ftc,fc->ft", jnp.asarray(va), c)            # [F, T_svd]
+    m = m * (svd.maxs - svd.mins) + svd.mins
+
+    # beyond the trained time range the surrogate is not trusted:
+    # inf fill (reference FIXME at lightcurve_generation.py:174-176)
+    def interp_one(row):
+        return masked_interp_sorted_fill(t_days, jnp.asarray(svd.tt), row,
+                                         jnp.inf)
+    return jax.vmap(interp_one)(m)
+
+
+def make_svd_source_model(name: str, svd: SVDModelData,
+                          mag_ncoeff=None) -> SourceModel:
+    def mags_fn(params, t_days, nu_host):
+        return svd_surrogate_mags(svd, params, t_days, mag_ncoeff)
+
+    model = SourceModel(
+        name=name,
+        parameter_names=tuple(svd.parameter_names),
+        mags_fn=mags_fn,
+        default_time_grid=lambda: np.asarray(svd.tt),
+        citation="SVD surrogate (nmma-compatible)",
+    )
+    register_source_model(model)
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Ingestion of reference-format artifacts
+# ---------------------------------------------------------------------------
+def _read_keras_h5_dense_stack(path):
+    """Extract (W1, b1, W2, b2) from a legacy keras Sequential .h5 file.
+
+    The reference's '_tf' models are Dense(P->H, relu) [+Dropout] ->
+    Dense(H->C) (nmma/em/training.py:336-397); only the weights are needed
+    — parsed directly with h5py, no tensorflow dependency.
+    """
+    import h5py
+    with h5py.File(path, "r") as f:
+        g = f["model_weights"]
+        dense_names = sorted(
+            (k for k in g.keys() if "dense" in k),
+            key=lambda k: int(k.split("_")[-1]) if k.split("_")[-1].isdigit()
+            else 0)
+        mats = []
+        for name in dense_names:
+            sub = g[name]
+            # descend to the weight datasets
+            while not any(k.endswith(":0") for k in sub.keys()):
+                sub = sub[list(sub.keys())[0]]
+            kernel = np.asarray(sub["kernel:0"])
+            bias = np.asarray(sub["bias:0"])
+            mats.append((kernel, bias))
+    if len(mats) != 2:
+        raise ValueError(f"expected 2 dense layers in {path}, got {len(mats)}")
+    (w1, b1), (w2, b2) = mats
+    return w1, b1, w2, b2
+
+
+def ingest_nmma_svd_model(model_dir, model_name, filters=None):
+    """Convert a reference svdmodel directory into ``SVDModelData``.
+
+    Expects the reference layout: ``{model_name}.joblib`` core (VA, mins,
+    maxs, tt, param bounds per filter; nmma/em/training.py:291-299) +
+    per-filter ``{filt}.h5`` / ``{filt}.keras`` MLP weights. The per-filter
+    pieces are stacked into the dense [F, ...] tensors our kernel wants.
+    """
+    import joblib
+    core_path = os.path.join(model_dir, f"{model_name}.joblib")
+    core = joblib.load(core_path)
+    if filters is None:
+        filters = list(core.keys())
+
+    tt = np.asarray(core[filters[0]]["tt"])
+    va, mins, maxs, w1s, b1s, w2s, b2s = [], [], [], [], [], [], []
+    n_coeff = min(int(core[f]["n_coeff"]) for f in filters)
+    for f in filters:
+        sub = core[f]
+        va.append(np.asarray(sub["VA"])[:, :n_coeff])
+        mins.append(np.asarray(sub["mins"]))
+        maxs.append(np.asarray(sub["maxs"]))
+        for ext in (".h5", ".keras"):
+            path = os.path.join(model_dir, f + ext)
+            if os.path.exists(path):
+                break
+        w1, b1, w2, b2 = _read_keras_h5_dense_stack(path)
+        w1s.append(w1)
+        b1s.append(b1)
+        w2s.append(w2[:, :n_coeff])
+        b2s.append(b2[:n_coeff])
+
+    first = core[filters[0]]
+    return SVDModelData(
+        filters=tuple(filters),
+        parameter_names=tuple(first.get("model_parameters", ())) or None,
+        tt=tt, va=np.stack(va), mins=np.stack(mins), maxs=np.stack(maxs),
+        param_mins=np.asarray(first["param_mins"]),
+        param_maxs=np.asarray(first["param_maxs"]),
+        w1=np.stack(w1s), b1=np.stack(b1s), w2=np.stack(w2s),
+        b2=np.stack(b2s))

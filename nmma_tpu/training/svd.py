@@ -1,0 +1,220 @@
+"""SVD-surrogate training: grid ingestion -> SVD -> batched-MLP fit.
+
+TPU-native counterpart of ``nmma/em/training.py`` (``BaseTrainingModel`` /
+``KerasTrainingModel`` / ``create_svdmodel``): the reference trains one
+keras MLP per filter sequentially; here every filter's network lives in a
+stacked ``[F, ...]`` parameter tensor and a single optax/adam loop trains
+all of them at once (the batched forward is three einsums — the same
+kernel the inference path uses).
+
+Pipeline (matching reference semantics, nmma/em/training.py:164-265):
+  1. read a training grid (bulla/standard formats), extracting parameters
+     from filenames (em/model_parameters.py conventions);
+  2. interpolate every light curve onto the surrogate time grid;
+  3. min-max normalize per filter per time bin; SVD; project to
+     ``n_coeff`` coefficients;
+  4. fit MLP (Dense(H, relu) -> Dense(C)) to (normalized params ->
+     coefficients) with adam/MSE and a held-out split.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.svd import SVDModelData
+from ..ops.interp import masked_interp_linear
+
+_NUM_RE = r"[-+]?[.]?[\d]+(?:,\d\d\d)*[\.]?\d*(?:[eE][-+]?\d+)?"
+
+# filename -> parameter extraction, per grid family
+# (reference: nmma/em/model_parameters.py:98-149)
+GRID_PARSERS = {}
+
+
+def _register(name, parameters, indices, log_indices=()):
+    def parse(filename):
+        stem = os.path.basename(filename)
+        for ext in (".csv", ".txt", ".dat", ".hdf5", ".h5"):
+            stem = stem.replace(ext, "")
+        vals = [float(x) for x in re.findall(_NUM_RE, stem)]
+        out = {}
+        for param, idx in zip(parameters, indices):
+            v = vals[idx]
+            if idx in log_indices:
+                v = np.log10(v)
+            out[param] = v
+        return out
+    GRID_PARSERS[name] = (parse, list(parameters))
+    return parse
+
+
+_register("Bu2019lm", ["log10_mej_dyn", "log10_mej_wind", "KNphi", "KNtheta"],
+          [1, 2, 3, 4], log_indices=(1, 2))
+_register("Bu2019lm_sparse", ["log10_mej_dyn", "log10_mej_wind"],
+          [1, 2], log_indices=(1, 2))
+_register("Bu2019nsbh", ["log10_mej_dyn", "log10_mej_wind", "KNtheta"],
+          [1, 2, 3], log_indices=(1, 2))
+_register("Bu2022Ye", ["log10_mej_dyn", "vej_dyn", "Yedyn", "log10_mej_wind",
+                       "vej_wind", "KNtheta"],
+          [1, 2, 3, 4, 5, 6], log_indices=(1, 4))
+_register("Ka2017", ["log10_mej", "log10_vej", "log10_Xlan"],
+          [0, 1, 2], log_indices=(0, 1, 2))
+
+
+def read_bulla_grid(files, model="Bu2019lm_sparse", filters=None):
+    """Read bulla-format grid files: header '# t[days] f1 f2 ...'.
+
+    Returns (params [N, P], times list, mags [N, F, T_i]-like dict form).
+    (reference read_photometry_files 'bulla' branch, nmma/em/io.py:352-377)
+    """
+    parse, parameter_names = GRID_PARSERS[model]
+    entries = []
+    for fn in sorted(files):
+        with open(fn) as f:
+            header = f.readline().strip().lstrip("#").split()
+        cols = header[1:]                  # first col is t[days]
+        arr = np.loadtxt(fn)
+        t = arr[:, 0]
+        mags = {c: arr[:, i + 1] for i, c in enumerate(cols)}
+        entries.append({"params": parse(fn), "t": t, "mags": mags})
+    if filters is None:
+        filters = list(entries[0]["mags"].keys())
+    return entries, parameter_names, list(filters)
+
+
+@dataclass
+class SVDTrainingConfig:
+    n_coeff: int = 10
+    hidden: int = 128
+    n_epochs: int = 2000
+    learning_rate: float = 1e-3
+    holdout_fraction: float = 0.1
+    tmin: float = 0.1
+    tmax: float = 14.0
+    n_tsteps: int = 100
+    seed: int = 42
+
+
+def _interp_grid(entries, filters, tt):
+    """[N, F, T] magnitudes on the surrogate grid (linear extrapolation)."""
+    n, f_n, t_n = len(entries), len(filters), len(tt)
+    out = np.zeros((n, f_n, t_n))
+    for i, e in enumerate(entries):
+        for j, filt in enumerate(filters):
+            out[i, j] = np.asarray(masked_interp_linear(
+                tt, e["t"], e["mags"][filt], fill_value=np.nan))
+    return out
+
+
+def train_svd_model(entries, parameter_names, filters,
+                    config: SVDTrainingConfig = SVDTrainingConfig(),
+                    verbose=True) -> SVDModelData:
+    cfg = config
+    tt = np.linspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
+    data = _interp_grid(entries, filters, tt)           # [N, F, T]
+    params = np.asarray([[e["params"][p] for p in parameter_names]
+                         for e in entries])             # [N, P]
+
+    p_mins, p_maxs = params.min(0), params.max(0)
+    x = (params - p_mins) / (p_maxs - p_mins)
+
+    # per filter: min-max per time bin, SVD, coefficient projection
+    mins = data.min(axis=0)                             # [F, T]
+    maxs = data.max(axis=0)
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    norm = np.nan_to_num((data - mins) / span, nan=0.0)  # [N, F, T]
+
+    n_c = min(cfg.n_coeff, len(entries), len(tt))
+    va_list, coeff_list = [], []
+    for j in range(len(filters)):
+        _, _, vt = np.linalg.svd(norm[:, j, :], full_matrices=True)
+        va = vt.T[:, :n_c]                              # [T, C]
+        va_list.append(va)
+        coeff_list.append(norm[:, j, :] @ va)           # [N, C]
+    va = np.stack(va_list)                              # [F, T, C]
+    coeffs = np.stack(coeff_list, axis=1)               # [N, F, C]
+
+    # ---- batched MLP training over the filter axis ----
+    key = jax.random.PRNGKey(cfg.seed)
+    f_n, p_n, h_n = len(filters), params.shape[1], cfg.hidden
+    k1, k2, k3 = jax.random.split(key, 3)
+    w1 = jax.random.normal(k1, (f_n, p_n, h_n)) * np.sqrt(2.0 / p_n)
+    w2 = jax.random.normal(k2, (f_n, h_n, n_c)) * np.sqrt(1.0 / h_n)
+    net = {"w1": w1, "b1": jnp.zeros((f_n, h_n)),
+           "w2": w2, "b2": jnp.zeros((f_n, n_c))}
+
+    n = len(entries)
+    n_hold = max(1, int(round(n * cfg.holdout_fraction))) if n > 4 else 0
+    perm = np.random.default_rng(cfg.seed).permutation(n)
+    train_idx, hold_idx = perm[n_hold:], perm[:n_hold]
+
+    x_train = jnp.asarray(x[train_idx])
+    y_train = jnp.asarray(coeffs[train_idx])
+
+    def forward(net, xb):
+        h = jax.nn.relu(jnp.einsum("np,fph->nfh", xb, net["w1"]) + net["b1"])
+        return jnp.einsum("nfh,fhc->nfc", h, net["w2"]) + net["b2"]
+
+    def loss_fn(net, xb, yb):
+        return jnp.mean((forward(net, xb) - yb) ** 2)
+
+    opt = optax.adam(cfg.learning_rate)
+    opt_state = opt.init(net)
+
+    @jax.jit
+    def step(net, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(net, x_train, y_train)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(net, updates), opt_state, loss
+
+    for epoch in range(cfg.n_epochs):
+        net, opt_state, loss = step(net, opt_state)
+        if verbose and epoch % max(1, cfg.n_epochs // 5) == 0:
+            print(f"epoch {epoch:5d} train mse {float(loss):.5f}")
+    if n_hold:
+        hold_loss = float(loss_fn(net, jnp.asarray(x[hold_idx]),
+                                  jnp.asarray(coeffs[hold_idx])))
+        if verbose:
+            print(f"holdout mse {hold_loss:.5f} ({n_hold} grid points)")
+
+    return SVDModelData(
+        filters=tuple(filters), parameter_names=tuple(parameter_names),
+        tt=tt, va=va, mins=mins, maxs=maxs,
+        param_mins=p_mins, param_maxs=p_maxs,
+        w1=np.asarray(net["w1"]), b1=np.asarray(net["b1"]),
+        w2=np.asarray(net["w2"]), b2=np.asarray(net["b2"]))
+
+
+def benchmark_svd_model(svd: SVDModelData, entries, parameter_names,
+                        filters=None):
+    """Reduced-chi^2 percentiles of the surrogate vs its training grid.
+
+    Counterpart of ``create_benchmark`` (nmma/em/training.py:611-739):
+    for every grid point, chi^2/dof between the surrogate prediction and
+    the gridded light curve (1 mag error scale), reported as
+    {filter: percentiles [0, 25, 50, 75, 100]}.
+    """
+    from ..models.svd import svd_surrogate_mags
+    filters = filters or list(svd.filters)
+    tt = svd.tt
+    chi2 = {f: [] for f in filters}
+    for e in entries:
+        params = {p: e["params"][p] for p in parameter_names}
+        pred = np.asarray(svd_surrogate_mags(svd, params, jnp.asarray(tt)))
+        for j, f in enumerate(filters):
+            truth = np.asarray(masked_interp_linear(tt, e["t"], e["mags"][f],
+                                                    fill_value=np.nan))
+            sel = np.isfinite(truth) & np.isfinite(pred[j])
+            if sel.sum() < 2:
+                continue
+            chi2[f].append(np.sum((pred[j][sel] - truth[sel]) ** 2)
+                           / max(sel.sum() - 1, 1))
+    return {f: np.percentile(v, [0, 25, 50, 75, 100]).tolist()
+            for f, v in chi2.items() if v}
