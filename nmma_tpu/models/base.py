@@ -121,6 +121,11 @@ class SourceModel:
     citation: str = ""
     bolometric: bool = False
     needs_filters: bool = False  # kernel wants the static filter-name list
+    # filter rows the kernel emits; None => kernel follows the requested
+    # filters (analytic models evaluate any nu). SVD surrogates are trained
+    # per filter, so their output rows are fixed and get gathered/inf-filled
+    # to the requested set (reference calc_svd_lc null-output, :166-168).
+    filter_names: tuple = None
 
     def time_grid(self):
         if self.default_time_grid is not None:
@@ -197,6 +202,18 @@ class DetectorLightCurveModel:
             mags = self.source.mags_fn(p, t, nu_host, filters=self.filters)
         else:
             mags = self.source.mags_fn(p, t, nu_host)   # [F, T] abs mags
+
+        if self.source.filter_names is not None:
+            # align the kernel's fixed filter rows with the requested set;
+            # untrained filters become all-inf rows
+            src = list(self.source.filter_names)
+            rows = []
+            for f in self.filters:
+                if f in src:
+                    rows.append(mags[src.index(f)])
+                else:
+                    rows.append(jnp.full(t.shape, jnp.inf))
+            mags = jnp.stack(rows)
 
         observable_times = t * (1.0 + z) + jnp.asarray(p["timeshift"])
 

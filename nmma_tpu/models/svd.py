@@ -110,6 +110,7 @@ def make_svd_source_model(name: str, svd: SVDModelData,
         mags_fn=mags_fn,
         default_time_grid=lambda: np.asarray(svd.tt),
         citation="SVD surrogate (nmma-compatible)",
+        filter_names=tuple(svd.filters),
     )
     register_source_model(model)
     return model

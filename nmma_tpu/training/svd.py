@@ -208,7 +208,8 @@ def benchmark_svd_model(svd: SVDModelData, entries, parameter_names,
     for e in entries:
         params = {p: e["params"][p] for p in parameter_names}
         pred = np.asarray(svd_surrogate_mags(svd, params, jnp.asarray(tt)))
-        for j, f in enumerate(filters):
+        for f in filters:
+            j = list(svd.filters).index(f)   # pred rows follow svd.filters
             truth = np.asarray(masked_interp_linear(tt, e["t"], e["mags"][f],
                                                     fill_value=np.nan))
             sel = np.isfinite(truth) & np.isfinite(pred[j])
