@@ -1,0 +1,131 @@
+"""Gravitational-wave transient likelihood: batched Whittle inner products.
+
+TPU-native counterpart of ``GravitationalWaveTransientLikelihood``
+(``nmma/gw/gw_likelihood.py:164-247``), which wraps bilby's
+``GravitationalWaveTransient`` around LAL waveforms. Here the likelihood is
+a pure function: strain data, PSDs, and frequency grids are static [I, F]
+tensors; the waveform + projection + inner products form one fused
+elementwise block + reductions that vmaps over live points.
+
+log L = sum_ifo [ <d, h> - <h, h>/2 ]    (noise evidence constant dropped,
+matching the reference's use of log_likelihood_ratio in the samplers,
+mpi_setup.py:96-101), with <a, b> = 4 Re sum a* b / PSD df.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .detectors import Detector, get_detector, gmst_from_gps
+from .waveforms import aligo_design_psd, taylorf2_tidal
+
+
+@dataclass
+class InterferometerData:
+    """Frequency-domain strain + PSD for one interferometer."""
+
+    name: str
+    frequencies: np.ndarray      # [F]
+    strain: np.ndarray           # complex [F]
+    psd: np.ndarray              # [F]
+    duration: float
+
+    @property
+    def detector(self) -> Detector:
+        return get_detector(self.name)
+
+    @classmethod
+    def zero_noise_injection(cls, name, injection_parameters, duration=128.0,
+                             sampling_frequency=4096.0, f_min=20.0,
+                             f_max=2048.0, psd=None,
+                             waveform=taylorf2_tidal, trigger_time=0.0):
+        """Synthetic data: the projected signal with zero noise realisation.
+
+        Counterpart of the reference's zero-noise injections for SNR tests
+        (nmma/joint/injection_handling.py:283-344).
+        """
+        df = 1.0 / duration
+        freqs = np.arange(0.0, sampling_frequency / 2.0 + df, df)
+        band = (freqs >= f_min) & (freqs <= f_max)
+        freqs = freqs[band]
+        if psd is None:
+            psd = aligo_design_psd(freqs)
+        det = get_detector(name)
+        strain = np.asarray(project_signal(
+            det, waveform, freqs, injection_parameters, trigger_time))
+        return cls(name=name, frequencies=freqs, strain=strain, psd=psd,
+                   duration=duration)
+
+
+def project_signal(detector, waveform, frequencies, parameters,
+                   trigger_time):
+    """Detector-frame strain h(f) for one parameter set (pure, jittable)."""
+    h_plus, h_cross = waveform(frequencies, parameters)
+    gps = trigger_time + jnp.asarray(parameters.get("geocent_time", 0.0))
+    gmst = gmst_from_gps(gps)
+    ra = jnp.asarray(parameters.get("ra", 0.0))
+    dec = jnp.asarray(parameters.get("dec", 0.0))
+    psi = jnp.asarray(parameters.get("psi", 0.0))
+    f_plus, f_cross = detector.antenna_pattern(ra, dec, psi, gmst)
+    dt = detector.time_delay_from_geocenter(ra, dec, gmst) + \
+        jnp.asarray(parameters.get("geocent_time", 0.0))
+    phase_shift = jnp.exp(-2j * jnp.pi * jnp.asarray(frequencies) * dt)
+    return (f_plus * h_plus + f_cross * h_cross) * phase_shift
+
+
+class GWTransientLikelihood:
+    """Coherent multi-detector matched-filter likelihood."""
+
+    def __init__(self, interferometers, waveform=taylorf2_tidal,
+                 trigger_time=0.0):
+        self.ifos = list(interferometers)
+        self.waveform = waveform
+        self.trigger_time = float(trigger_time)
+        self._freqs = [jnp.asarray(ifo.frequencies) for ifo in self.ifos]
+        # float32 cannot hold 1/PSD (~1e48): whiten with the inverse ASD
+        # (~1e24) instead, so strains become O(10) whitened amplitudes
+        self._inv_asd = []
+        self._white_data = []
+        self._df = [1.0 / ifo.duration for ifo in self.ifos]
+        for ifo in self.ifos:
+            psd = np.asarray(ifo.psd, dtype=np.float64)
+            inv_asd = np.where(np.isfinite(psd) & (psd > 0),
+                               1.0 / np.sqrt(psd), 0.0)
+            self._inv_asd.append(jnp.asarray(inv_asd))
+            self._white_data.append(jnp.asarray(
+                np.asarray(ifo.strain) * inv_asd))
+
+    def _whitened_template(self, ifo_idx, parameters):
+        ifo = self.ifos[ifo_idx]
+        h = project_signal(ifo.detector, self.waveform,
+                           self._freqs[ifo_idx], parameters,
+                           self.trigger_time)
+        return h * self._inv_asd[ifo_idx]
+
+    def log_likelihood_ratio(self, parameters):
+        total = jnp.asarray(0.0)
+        for i, df in enumerate(self._df):
+            h_w = self._whitened_template(i, parameters)
+            d_w = self._white_data[i]
+            d_inner_h = 4.0 * df * jnp.sum((jnp.conj(d_w) * h_w).real)
+            h_inner_h = 4.0 * df * jnp.sum((jnp.conj(h_w) * h_w).real)
+            total = total + d_inner_h - 0.5 * h_inner_h
+        return total
+
+    def log_likelihood(self, parameters):
+        return self.log_likelihood_ratio(parameters)
+
+    def __call__(self, parameters):
+        return self.log_likelihood_ratio(parameters)
+
+    def optimal_snr(self, parameters):
+        """Quadrature network SNR for a parameter set (injection tests)."""
+        total = jnp.asarray(0.0)
+        for i, df in enumerate(self._df):
+            h_w = self._whitened_template(i, parameters)
+            total = total + 4.0 * df * jnp.sum((jnp.conj(h_w) * h_w).real)
+        return jnp.sqrt(total)
