@@ -143,7 +143,7 @@ def register_source_model(model: SourceModel):
 
 def get_source_model(name: str) -> SourceModel:
     # import kernels lazily so registration happens on first use
-    from . import kilonova, shock_cooling, supernova  # noqa: F401
+    from . import grb, kilonova, shock_cooling, supernova  # noqa: F401
     if name not in _SOURCE_MODELS:
         raise KeyError(
             f"Unknown source model {name!r}; known: {sorted(_SOURCE_MODELS)}"

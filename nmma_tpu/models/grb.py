@@ -1,0 +1,281 @@
+"""Structured-jet GRB afterglow (TrPi2018-style) as a fused JAX kernel.
+
+TPU-native replacement for the reference's afterglowpy C extension
+(``nmma/em/lightcurve_generation.py:221-280``, SURVEY.md §2.7 R3),
+implementing the standard semi-analytic model of Ryan et al. (2020) /
+Sari-Piran-Narayan (1998) synchrotron theory from the published physics:
+
+* jet structure: tophat / Gaussian / power-law energy profiles E_iso(theta)
+  (afterglowpy jet types -1, 0, 4);
+* each angular ring decelerates as an adiabatic blast wave with
+  (Gamma beta)^2 = E_iso(theta) / (M_sw(R) c^2), which interpolates the
+  Blandford-McKee and Sedov-Taylor limits;
+* equal-arrival-time-surface integration over a (theta, phi) grid: each
+  surface element's observer-time map t_obs = (1+z)(t_b - mu R / c) is
+  monotone in R, so dynamical quantities are resampled per element with
+  the sort-free masked interpolation kernel;
+* synchrotron emission with nu_m / nu_c breaks (slow and fast cooling),
+  relativistic Doppler boosting delta^3, and flux in mJy.
+
+Everything is static-shape: [n_theta x n_phi] surface elements times a
+log R grid, vmappable over live-point batches. Lateral spreading is not
+yet modelled (afterglowpy's spread=True refinement) — post-jet-break
+slopes are steeper in reality; tracked for a later round.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import c_cgs, seconds_a_day
+from ..ops.interp import masked_interp_sorted_fill
+from ..ops.photometry import flux_to_ab_mag
+from .base import SourceModel, register_source_model
+
+# cgs constants for synchrotron theory
+_QE = 4.80320425e-10          # esu
+_ME = 9.1093837015e-28        # g
+_MP = 1.67262192369e-24       # g
+_SIGMA_T = 6.6524587321e-25   # cm^2
+_MPC_CM = 3.0856775814913673e24
+_MJY = 1e-26                  # erg/s/cm^2/Hz
+
+N_THETA = 24
+N_PHI = 24
+N_R = 160
+
+JET_TOPHAT = -1
+JET_GAUSSIAN = 0
+JET_POWERLAW = 4
+
+
+def _energy_profile(theta, e0, theta_core, theta_wing, b, jet_type):
+    if jet_type == JET_TOPHAT:
+        return jnp.where(theta <= theta_core, e0, 0.0)
+    if jet_type == JET_GAUSSIAN:
+        prof = jnp.exp(-0.5 * jnp.minimum((theta / theta_core) ** 2, 80.0))
+        return jnp.where(theta <= theta_wing, e0 * prof, 0.0)
+    if jet_type == JET_POWERLAW:
+        prof = jnp.power(1.0 + (theta / theta_core) ** 2 / b, -b / 2.0)
+        return jnp.where(theta <= theta_wing, e0 * prof, 0.0)
+    raise ValueError(f"unknown jet type {jet_type}")
+
+
+def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN):
+    """Observed flux density [mJy] on a (time, frequency) grid.
+
+    Parameters (afterglowpy naming, nmma/em/model.py:39-53): log10_E0
+    [erg, on-axis isotropic equivalent], thetaCore, thetaWing,
+    inclination_EM (viewing angle), log10_n0 [cm^-3], p,
+    log10_epsilon_e, log10_epsilon_B, xi_N, luminosity_distance [Mpc],
+    b (power-law jets), redshift.
+
+    Returns [F, T] flux densities.
+    """
+    e0 = 10.0 ** (jnp.asarray(params["log10_E0"]) - 50.0)   # units of 1e50 erg
+    theta_core = jnp.asarray(params["thetaCore"])
+    theta_wing = jnp.asarray(params.get("thetaWing", 4.0 * theta_core))
+    theta_v = jnp.asarray(params.get("inclination_EM", 0.0))
+    n0 = 10.0 ** jnp.asarray(params["log10_n0"])
+    p = jnp.asarray(params["p"])
+    eps_e = 10.0 ** jnp.asarray(params["log10_epsilon_e"])
+    eps_b = 10.0 ** jnp.asarray(params["log10_epsilon_B"])
+    xi_n = jnp.asarray(params.get("xi_N", 1.0))
+    # afterglowpy convention: explicit d_L in cm wins (the reference fixes
+    # d_L = 3.086e19 cm = 10 pc so the flux is an absolute magnitude and
+    # the detector assembly adds the distance modulus; model.py:933-936)
+    if "d_L" in params:
+        d_l = jnp.asarray(params["d_L"])
+    else:
+        d_l = jnp.asarray(params["luminosity_distance"]) * _MPC_CM
+    z = jnp.asarray(params.get("redshift", 0.0))
+    b_pl = jnp.asarray(params.get("b", 6.0))
+
+    if jet_type == JET_TOPHAT:
+        theta_max = theta_core
+    else:
+        theta_max = theta_wing
+
+    # ring grid (cell centres) and energy profile
+    theta_edges = jnp.linspace(0.0, 1.0, N_THETA + 1) ** 1.3 * theta_max
+    theta = 0.5 * (theta_edges[1:] + theta_edges[:-1])             # [Th]
+    d_cos = -jnp.diff(jnp.cos(theta_edges))                        # [Th]
+    e_iso50 = _energy_profile(theta, e0, theta_core, theta_wing, b_pl,
+                              jet_type)                            # [Th]
+    e_iso50 = jnp.maximum(e_iso50, 1e-12)
+
+    # blast-wave dynamics per ring on a shared log-R grid --------------------
+    # deceleration radius of the most energetic ring sets the scale
+    # R_dec: u = u0 ~ 300; span R to cover Sedov times beyond t_obs max
+    e_ref = jnp.max(e_iso50)
+    # R_dec in r17 = R/1e17 units; the 1e50 scale folds into a host float
+    _RDEC_COEF = 3.0 * 1e50 / (4.0 * np.pi * _MP * c_cgs**2 * 1e4 * 1e51)
+    r_dec = 1e17 * jnp.cbrt(e_ref * _RDEC_COEF / n0)
+    t_max_b = jnp.max(jnp.asarray(t_obs_day)) * seconds_a_day * 200.0
+    r_max = c_cgs * t_max_b
+    r_min = r_dec * 1e-3
+    frac = jnp.arange(N_R) / (N_R - 1)
+    r_grid = r_min * jnp.power(r_max / r_min, frac)                # [R]
+
+    # (Gamma beta)^2 = E_iso / (M_sw c^2), M_sw = 4 pi/3 n mp R^3.
+    # R^3 (~1e60 cm^3) overflows f32: carry radius as r17 = R/1e17 cm and
+    # fold the 1e51 into a Python-float coefficient.
+    r17 = r_grid * 1e-17
+    _MSW_COEF = (4.0 * np.pi / 3.0) * _MP * c_cgs**2 * 1e51 / 1e50
+    m_sw_c2_50 = _MSW_COEF * n0 * r17**3                           # [R]
+    u2 = e_iso50[:, None] / m_sw_c2_50[None, :]                    # [Th, R]
+    u2 = jnp.minimum(u2, 1e8)
+    gamma = jnp.sqrt(1.0 + u2)
+    beta = jnp.sqrt(u2 / (1.0 + u2))
+
+    # burster time t_b(R) = int dR / (beta c), cumulative trapezoid
+    inv_bc = 1.0 / (beta * c_cgs)                                  # [Th, R]
+    dr = jnp.diff(r_grid)
+    t_b = jnp.concatenate([
+        (r_grid[0] * inv_bc[:, :1]),
+        r_grid[0] * inv_bc[:, :1] + jnp.cumsum(
+            0.5 * (inv_bc[:, 1:] + inv_bc[:, :-1]) * dr[None, :], axis=1),
+    ], axis=1)                                                     # [Th, R]
+
+    # synchrotron quantities on the R grid ----------------------------------
+    b_field = jnp.sqrt(32.0 * jnp.pi * eps_b * gamma * (gamma - 1.0 + 1e-12)
+                       * n0 * _MP) * c_cgs                         # [Th, R]
+    gamma_m = jnp.maximum(
+        1.0, eps_e * (p - 2.0) / (p - 1.0) * (_MP / _ME)
+        * (gamma - 1.0) / xi_n)
+    gamma_c = 6.0 * jnp.pi * _ME * c_cgs * gamma / (
+        _SIGMA_T * b_field**2 * t_b + 1e-30)
+    nu_m_prime = 3.0 / (4.0 * jnp.pi) * gamma_m**2 * _QE * b_field / (
+        _ME * c_cgs)
+    nu_c_prime = 3.0 / (4.0 * jnp.pi) * gamma_c**2 * _QE * b_field / (
+        _ME * c_cgs)
+    # peak spectral power per electron [erg/s/Hz]
+    p_max_prime = _ME * c_cgs**2 * _SIGMA_T * b_field / (3.0 * _QE)
+    # swept-up electron number per sterad / 1e50 (f32 headroom):
+    # N_e = xi_N n R^3 / 3 per sterad, with R^3 via the r17 scaling
+    n_e50 = xi_n * n0 * (1e51 / 3.0 / 1e50) * r17**3               # [R]
+
+    # EATS: per (ring, phi) element resample dynamics at the burster time
+    # solving t_obs = (1+z)(t_b - mu R / c)
+    phi = (jnp.arange(N_PHI) + 0.5) / N_PHI * jnp.pi               # [Ph]
+    mu = (jnp.cos(theta_v) * jnp.cos(theta)[:, None]
+          + jnp.sin(theta_v) * jnp.sin(theta)[:, None]
+          * jnp.cos(phi)[None, :])                                 # [Th, Ph]
+
+    t_obs = jnp.asarray(t_obs_day) * seconds_a_day                 # [T]
+    nu_obs = jnp.atleast_1d(jnp.asarray(nu_obs))                   # [F]
+
+    def element_flux(th_idx, mu_el):
+        """[F, T] flux contribution of one surface element (x dOmega)."""
+        t_obs_grid = (1.0 + z) * (t_b[th_idx] - mu_el * r_grid / c_cgs)
+        log_t = jnp.log(jnp.maximum(t_obs_grid, 1e-10))
+        log_q = jnp.log(t_obs)
+
+        def at_t(vals):
+            return jnp.exp(masked_interp_sorted_fill(
+                log_q, log_t, jnp.log(jnp.maximum(vals, 1e-38)), -jnp.inf))
+
+        g = at_t(gamma[th_idx])
+        be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / g**2, 0.0))
+        num = at_t(nu_m_prime[th_idx])
+        nuc = at_t(nu_c_prime[th_idx])
+        pmax = at_t(p_max_prime[th_idx])
+        ne50 = at_t(n_e50)
+
+        doppler = 1.0 / (g * (1.0 - be * mu_el) + 1e-12)           # [T]
+        nu_prime = nu_obs[:, None] * (1.0 + z) / doppler[None, :]  # [F, T]
+        shape = _synchrotron_shape(nu_prime, num[None, :], nuc[None, :], p)
+        # F_nu = (1+z) delta^3 P'max N_e shape dOmega / (4 pi dL^2)
+        return ((1.0 + z) * doppler[None, :] ** 3 * pmax[None, :]
+                * ne50[None, :] * shape)
+
+    def ring(th_idx):
+        def one_phi(ph_idx):
+            return element_flux(th_idx, mu[th_idx, ph_idx])
+        contrib = jax.vmap(one_phi)(jnp.arange(N_PHI))             # [Ph, F, T]
+        # phi in [0, pi] with mirror symmetry: weight 2 dphi/(2 pi) of dOmega
+        return jnp.sum(contrib, axis=0) * (2.0 / N_PHI / 2.0) * d_cos[th_idx]
+
+    flux50 = jax.vmap(ring)(jnp.arange(N_THETA))                   # [Th, F, T]
+    # F[mJy] = sum * 1e50 / (4 pi dL^2) / 1e-26; dL^2 (~1e53 cm^2)
+    # overflows f32, so scale distance as dL26 = dL/1e26 cm
+    d_l26 = d_l * 1e-26
+    coef = (1e50 / 1e52 / (4.0 * np.pi)) / _MJY   # == 1e24 / 4pi
+    return jnp.sum(flux50, axis=0) * coef / (d_l26 * d_l26)        # [F, T] mJy
+
+
+def _synchrotron_shape(nu, nu_m, nu_c, p):
+    """Broken power-law synchrotron spectrum (SPN98), slow + fast cooling."""
+    # slow cooling: nu_m < nu_c
+    slow = jnp.where(
+        nu < nu_m,
+        jnp.power(nu / nu_m, 1.0 / 3.0),
+        jnp.where(nu < nu_c,
+                  jnp.power(nu / nu_m, -(p - 1.0) / 2.0),
+                  jnp.power(nu_c / nu_m, -(p - 1.0) / 2.0)
+                  * jnp.power(nu / nu_c, -p / 2.0)))
+    # fast cooling: nu_c < nu_m
+    fast = jnp.where(
+        nu < nu_c,
+        jnp.power(nu / nu_c, 1.0 / 3.0),
+        jnp.where(nu < nu_m,
+                  jnp.power(nu / nu_c, -0.5),
+                  jnp.power(nu_m / nu_c, -0.5)
+                  * jnp.power(nu / nu_m, -p / 2.0)))
+    return jnp.where(nu_m <= nu_c, slow, fast)
+
+
+def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN):
+    """TrPi2018 absolute-magnitude rows [F, T].
+
+    Matches the reference's flux path (``afterglowpy_lc``,
+    lightcurve_generation.py:260-280): flux on a coarse internal geomspace
+    grid at d_L = 10 pc (absolute magnitudes; the detector assembly adds
+    the distance modulus), observer-frame filter frequencies, mJy -> AB
+    mag, interpolation onto the sample times. GRBMixin sanity checks
+    (model.py:833-843) become an all-inf mask.
+    """
+    p = dict(params)
+    p.setdefault("d_L", 3.086e19)    # 10 pc in cm (reference default)
+    theta_wing = jnp.asarray(p.get("thetaWing",
+                                   4.0 * jnp.asarray(p["thetaCore"])))
+    eps_tot = (10.0 ** jnp.asarray(p["log10_epsilon_e"])
+               + 10.0 ** jnp.asarray(p["log10_epsilon_B"]))
+    ok = ((theta_wing <= jnp.pi / 2)
+          & (jnp.asarray(p["thetaCore"]) > jnp.pi / 1800.0)
+          & (eps_tot <= 1.0))
+
+    # afterglowpy receives observer-frame frequencies (nu_0s); undo the
+    # host-frame factor the assembly applied
+    nu_obs = jnp.asarray(nu_host) / (1.0 + jnp.asarray(p.get("redshift", 0.0)))
+
+    t_start = jnp.maximum(1e-5, jnp.min(t_days))
+    t_end = jnp.max(t_days) + 1.0
+    n_node = 64
+    frac = jnp.arange(n_node) / (n_node - 1)
+    t_grid = t_start * jnp.power(t_end / t_start, frac)
+
+    mjys = grb_afterglow_flux_density(t_grid, nu_obs, p,
+                                      jet_type=jet_type)           # [F, Tg]
+    mags_grid = flux_to_ab_mag(mjys, unit="mJy")
+    log_tq = jnp.log(t_days)
+    log_tg = jnp.log(t_grid)
+
+    def interp_row(row):
+        return masked_interp_sorted_fill(log_tq, log_tg, row, jnp.inf)
+
+    mags = jax.vmap(interp_row)(mags_grid)
+    return jnp.where(ok, mags, jnp.inf)
+
+
+register_source_model(SourceModel(
+    name="TrPi2018",
+    parameter_names=("inclination_EM", "log10_E0", "thetaCore", "thetaWing",
+                     "b", "L0", "q", "ts", "log10_n0", "p",
+                     "log10_epsilon_e", "log10_epsilon_B", "xi_N", "d_L"),
+    mags_fn=trpi2018_mags,
+    default_time_grid=lambda: np.geomspace(0.01, 300.0, 150),
+    citation="Troja et al. (2018); model: Ryan et al. (2020) semi-analytic",
+))

@@ -1,0 +1,131 @@
+"""GRB afterglow kernel tests: canonical closure relations + GW170817
+morphology + combined GRB+KN stacking + likelihood integration on the real
+GRB211211A data file."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmma_tpu.models.grb import (JET_GAUSSIAN, JET_TOPHAT,
+                                 grb_afterglow_flux_density, trpi2018_mags)
+
+ON_AXIS = dict(log10_E0=52.0, thetaCore=0.1, thetaWing=0.4,
+               inclination_EM=0.0, log10_n0=0.0, p=2.3,
+               log10_epsilon_e=-1.0, log10_epsilon_B=-3.0, xi_N=1.0,
+               luminosity_distance=100.0, redshift=0.0)
+
+
+def test_spectral_slope_above_cooling():
+    """X-ray vs optical spectral index ~ -p/2 above nu_c."""
+    t = np.array([1.0, 10.0])
+    nu = np.array([2.4e17, 2.4e16])
+    f = np.asarray(grb_afterglow_flux_density(t, nu, ON_AXIS,
+                                              jet_type=JET_TOPHAT))
+    slope = np.log(f[0] / f[1]) / np.log(10.0)
+    # above cooling break: -p/2 = -1.15; below: -(p-1)/2 = -0.65
+    assert np.all(slope < -0.5) and np.all(slope > -1.4), slope
+
+
+def test_decay_after_jet_break():
+    t = np.geomspace(2.0, 30.0, 20)
+    f = np.asarray(grb_afterglow_flux_density(t, np.array([1e14]), ON_AXIS,
+                                              jet_type=JET_GAUSSIAN))[0]
+    slope = np.polyfit(np.log(t), np.log(f), 1)[0]
+    assert -3.0 < slope < -0.8, slope
+
+
+def test_off_axis_rises_and_peaks():
+    """GW170817-like geometry: radio rises for ~100 d then turns over."""
+    params = dict(log10_E0=52.9, thetaCore=0.066, thetaWing=0.47,
+                  inclination_EM=0.38, log10_n0=np.log10(3e-3), p=2.17,
+                  log10_epsilon_e=-1.4, log10_epsilon_B=-4.0, xi_N=1.0,
+                  luminosity_distance=40.0, redshift=0.0098)
+    t = np.geomspace(3.0, 300.0, 24)
+    f = np.asarray(grb_afterglow_flux_density(t, np.array([3e9]), params,
+                                              jet_type=JET_GAUSSIAN))[0]
+    i_peak = np.argmax(f)
+    t_peak = t[i_peak]
+    assert 60.0 < t_peak < 280.0, t_peak
+    assert f[i_peak] / f[0] > 5.0          # a genuine rise
+    # peak flux within a factor ~3 of the observed ~70-100 uJy
+    assert 20e-3 < f[i_peak] < 300e-3, f[i_peak]
+
+
+def test_trpi2018_detector_assembly():
+    from nmma_tpu.models import DetectorLightCurveModel
+    model = DetectorLightCurveModel("TrPi2018", ["ztfr", "X-ray-1keV"])
+    params = dict(ON_AXIS, luminosity_distance=100.0, timeshift=0.0)
+    obs_t, mags = model(params, sample_times=np.geomspace(0.1, 100.0, 50))
+    m = np.asarray(mags)
+    assert np.isfinite(m).mean() > 0.9
+    # apparent optical magnitudes in a plausible range for this config
+    assert 10.0 < np.nanmin(m[0][np.isfinite(m[0])]) < 25.0
+
+    # sanity mask: absurd wing angle -> all-inf -> likelihood guards fire
+    bad = dict(params, thetaWing=2.0)
+    _, mags_bad = model(bad, sample_times=np.geomspace(0.1, 100.0, 50))
+    assert not np.isfinite(np.asarray(mags_bad)).any()
+
+
+def test_combined_grb_kn_stacking():
+    from nmma_tpu.models import DetectorLightCurveModel, get_source_model
+    from nmma_tpu.models.combined import make_combined_source_model
+
+    combined = make_combined_source_model(
+        "Me2017_TrPi2018", [get_source_model("Me2017"),
+                            get_source_model("TrPi2018")], register=False)
+    filters = ["ztfr"]
+    model = DetectorLightCurveModel(combined, filters,
+                                    sample_times=np.geomspace(0.1, 20.0, 60))
+    params = dict(
+        log10_mej=-1.5, log10_vej=-1.0, beta=3.0, log10_kappa_r=0.5,
+        **{k: v for k, v in ON_AXIS.items() if k != "luminosity_distance"},
+        luminosity_distance=40.0, timeshift=0.0)
+    obs_t, mags = model(params)
+    m = np.asarray(mags)[0]
+    assert np.isfinite(m).sum() > 40
+
+    # combined flux is always >= each component's flux (mag <= min)
+    kn = DetectorLightCurveModel("Me2017", filters,
+                                 sample_times=np.geomspace(0.1, 20.0, 60))
+    _, kn_mags = kn(params)
+    grb = DetectorLightCurveModel("TrPi2018", filters,
+                                  sample_times=np.geomspace(0.1, 20.0, 60))
+    _, grb_mags = grb(params)
+    floor = np.minimum(np.asarray(kn_mags)[0], np.asarray(grb_mags)[0])
+    sel = np.isfinite(m) & np.isfinite(floor)
+    assert np.all(m[sel] <= floor[sel] + 1e-3)
+
+
+def test_grb211211a_likelihood():
+    """Real GRB211211A photometry + KN+GRB combined likelihood evaluates."""
+    from nmma_tpu.io import load_em_observations, shift_to_trigger_time
+    from nmma_tpu.likelihood import (EMLikelihood, PhotometryData,
+                                     SystematicsModel)
+    from nmma_tpu.models import DetectorLightCurveModel, get_source_model
+    from nmma_tpu.models.combined import make_combined_source_model
+
+    data = load_em_observations(
+        "/root/reference/example_files/lightcurves/GRB211211A.txt")
+    assert len(data) > 0
+    trigger = min(np.min(sub["time"]) for sub in data.values()) - 0.05
+    data = shift_to_trigger_time(data, trigger)
+    filters = sorted(data.keys())
+
+    combined = make_combined_source_model(
+        "Bu2019lm_like_TrPi2018",
+        [get_source_model("Me2017"), get_source_model("TrPi2018")],
+        register=False)
+    model = DetectorLightCurveModel(combined, filters,
+                                    sample_times=np.geomspace(0.01, 30.0, 100))
+    photo, _ = PhotometryData.from_dict(data, filters)
+    lk = EMLikelihood(model, photo, filters,
+                      SystematicsModel(filters, error_budget=1.0))
+    params = dict(
+        log10_mej=-1.8, log10_vej=-0.9, beta=3.0, log10_kappa_r=0.8,
+        log10_E0=51.0, thetaCore=0.08, thetaWing=0.3, inclination_EM=0.05,
+        log10_n0=-1.0, p=2.3, log10_epsilon_e=-1.0, log10_epsilon_B=-3.0,
+        xi_N=1.0, luminosity_distance=350.0, timeshift=0.0)
+    logl = float(jax.jit(lk.log_likelihood)(params))
+    assert np.isfinite(logl) and logl > -1e29
