@@ -77,6 +77,13 @@ class EMAnalysis:
         systematics = SystematicsModel(
             self.filters, cfg.systematics_file, cfg.error_budget,
             model_time_range=(cfg.tmin, cfg.tmax))
+        # yaml-requested systematics parameters join the sampled priors
+        # (reference create_prior_from_args wiring, em/prior.py:221-244)
+        sys_priors = systematics.create_priors()
+        if sys_priors:
+            merged = dict(self.priors.priors)
+            merged.update(sys_priors)
+            self.priors = PriorDict(merged)
         systematics.finalize(list(self.priors.keys()))
         self.likelihood = EMLikelihood(
             self.model, photo, self.filters, systematics,

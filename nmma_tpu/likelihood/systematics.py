@@ -89,6 +89,10 @@ class SystematicsModel:
                 self.plans[f] = ("budget",)
             return
 
+        if "config" in self.spec:
+            self._resolve_legacy(self.spec["config"])
+            return
+
         missing = set(self.filters)
         first_key = next(iter(self.spec))
         if first_key in _ALLOWED_KEYS:
@@ -124,6 +128,48 @@ class SystematicsModel:
                 f"filters missing systematics definitions: {sorted(missing)}"
             )
 
+    def _resolve_legacy(self, config):
+        """Legacy ``config.withTime`` format (nmma/em/systematics.py:298-510).
+
+        withTime: per filter-group time-node priors em_syserr_{group}_{n}
+        on a linear node grid over the model time range; a null group
+        covers the remaining filters as 'all'. withoutTime: one shared
+        em_syserr parameter.
+        """
+        self._legacy_groups = []
+        with_time = config.get("withTime", {})
+        without_time = config.get("withoutTime", {})
+        if with_time.get("value"):
+            n_nodes = int(with_time["time_nodes"])
+            nodes = np.linspace(self.model_time_range[0],
+                                self.model_time_range[1], n_nodes)
+            assigned = set()
+            groups = with_time.get("filters") or [None]
+            named_groups = []
+            for group in groups:
+                if group is None:
+                    continue
+                group_list = group if isinstance(group, list) else [group]
+                gname = "___".join(group_list)
+                named_groups.append((gname, group_list))
+                for f in group_list:
+                    assigned.add(f)
+            remaining = [f for f in self.filters if f not in assigned]
+            if any(g is None for g in groups) or not groups:
+                named_groups.append(("all", remaining))
+            for gname, group_list in named_groups:
+                names = tuple(f"em_syserr_{gname}_{n}" for n in range(n_nodes))
+                self._legacy_groups.append((gname, names, with_time))
+                for f in group_list:
+                    if f in self.filters:
+                        self.plans[f] = ("interp", names, nodes)
+            for f in self.filters:
+                self.plans.setdefault(f, ("budget",))
+        elif without_time.get("value"):
+            self._legacy_groups.append(("", ("em_syserr",), without_time))
+            for f in self.filters:
+                self.plans[f] = ("param", "em_syserr")
+
     def _assign(self, filt, key, info, nodes, rename_to=None):
         name = self._prior_name(rename_to if rename_to is not None else key)
         if nodes is None:
@@ -149,6 +195,58 @@ class SystematicsModel:
                 for n in plan[1]:
                     if n not in prior_names:
                         raise ValueError(f"systematics prior missing: {n}")
+
+    def create_priors(self):
+        """Build the sampled priors the yaml requests.
+
+        Counterpart of ``setup_systematics_priors``
+        (nmma/em/systematics.py:57-101): per-filter / filter-group /
+        'each' expansion with per-time-node prior copies. Prior
+        expressions in the yaml (e.g. ``Uniform(minimum=0, maximum=2)``)
+        are parsed with the same evaluator as .prior files.
+        """
+        from ..priors.parser import _eval_rhs
+
+        priors = {}
+        if not self.spec:
+            return priors
+
+        if "config" in self.spec:
+            from ..priors import core as prior_core
+            for _, names, values in getattr(self, "_legacy_groups", []):
+                cls = getattr(prior_core, values.get("type", "Uniform"))
+                kwargs = {k: v for k, v in values.items()
+                          if k not in ("type", "value", "time_nodes",
+                                       "filters")}
+                kwargs.setdefault("minimum", kwargs.pop("min", 0.0))
+                kwargs.setdefault("maximum", kwargs.pop("max", 2.0))
+                for name in names:
+                    priors[name] = cls(name=name, **kwargs)
+            return priors
+
+        def build(info, names):
+            prior_str = info.get("prior")
+            if prior_str is None:
+                return
+            for name in names:
+                prior = _eval_rhs(prior_str)
+                prior.name = name
+                priors[name] = prior
+
+        first_key = next(iter(self.spec))
+        specs = {"": self.spec} if first_key in _ALLOWED_KEYS else self.spec
+        for key, info in specs.items():
+            if not isinstance(info, dict):
+                continue
+            nodes = _time_nodes(info, self.model_time_range)
+            targets = info.get("each", [key])
+            for target in targets:
+                base = self._prior_name(target)
+                if nodes is None:
+                    build(info, [base])
+                else:
+                    build(info, [f"{base}_{i}" for i in range(len(nodes))])
+        return priors
 
     def prior_parameter_names(self):
         names = []

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (arad, c_cgs, msun_cgs, seconds_a_day, sigSB)
-from ..ops.interp import masked_interp_linear
+from ..ops.interp import masked_interp_linear_sorted
 from ..ops.photometry import blackbody_ab_mag, flux_to_ab_mag
 from .base import SourceModel, register_source_model
 
@@ -146,7 +146,7 @@ def _me2017_photometry(ltot40, r_photo, t_days, nu_host):
         (r_safe * 1e-10) ** 2
     )
     t_obs = jnp.where(r_ok & (q > 0.0), q ** 0.25, jnp.nan)
-    t_obs = masked_interp_linear(t_days, t_days, t_obs)
+    t_obs = masked_interp_linear_sorted(t_days, t_days, t_obs)
     inv_t = jnp.where(jnp.isfinite(t_obs) & (t_obs > 0.0), 1.0 / t_obs,
                       jnp.inf)
     return blackbody_ab_mag(nu_host, inv_t, r_photo)
@@ -222,7 +222,7 @@ def me2017_mags_sequential(params, t_days, nu_host):
 
     # fill invalid temperatures by linear inter/extrapolation on the time
     # grid (reference: autocomplete_data on Tobs, :645-648)
-    t_obs = masked_interp_linear(t_days, t_days, t_obs)
+    t_obs = masked_interp_linear_sorted(t_days, t_days, t_obs)
     inv_t = jnp.where(jnp.isfinite(t_obs) & (t_obs > 0.0), 1.0 / t_obs, jnp.inf)
 
     return blackbody_ab_mag(nu_host, inv_t, r_photo)

@@ -129,6 +129,56 @@ def masked_interp_sorted_fill(xq, x, y, fill):
     return jnp.where(n_valid >= 2, est, fill)
 
 
+def masked_interp_linear_sorted(xq, x, y, fill_value=jnp.inf):
+    """Linear-extrapolating masked interp for *pre-sorted* x.
+
+    Sort-free variant of ``masked_interp_linear`` for the model-kernel hot
+    path (the Me2017/HoNa temperature fill runs on the already-sorted time
+    grid; an argsort there costs more than the physics on TPU).
+    """
+    xq = jnp.asarray(xq)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    valid = jnp.isfinite(y)
+    n_valid = jnp.sum(valid)
+    idx = jnp.arange(n)
+
+    left_of = jax.lax.cummax(jnp.where(valid, idx, -1))
+    right_of = n - 1 - jnp.flip(
+        jax.lax.cummax(jnp.flip(jnp.where(valid, n - 1 - idx, -1))))
+
+    pos = jnp.clip(jnp.sum(xq[..., None] >= x, axis=-1) - 1, 0, n - 1)
+    l_idx = left_of[pos]
+    r_idx = right_of[jnp.clip(pos + 1, 0, n - 1)]
+
+    # edge-valid indices for two-point extrapolation
+    i0 = jnp.clip(right_of[0], 0, n - 1)
+    i1 = jnp.clip(right_of[jnp.clip(i0 + 1, 0, n - 1)], 0, n - 1)
+    i_last = jnp.clip(left_of[n - 1], 0, n - 1)
+    i_m = jnp.clip(left_of[jnp.clip(i_last - 1, 0, n - 1)], 0, n - 1)
+
+    l_safe = jnp.clip(l_idx, 0, n - 1)
+    r_safe = jnp.clip(r_idx, 0, n - 1)
+    x_l, y_l = x[l_safe], y[l_safe]
+    x_r, y_r = x[r_safe], y[r_safe]
+    span = jnp.where(x_r > x_l, x_r - x_l, 1.0)
+    w = jnp.clip((xq - x_l) / span, 0.0, 1.0)
+    res = y_l + w * (y_r - y_l)
+    # interior queries falling in an invalid tail/head cell: clamp to the
+    # nearest valid value (np.interp semantics on the reduced array)
+    res = jnp.where(l_idx < 0, y[i0], res)
+    res = jnp.where(r_idx > n - 1, y[i_last], res)
+
+    lo_slope = (y[i1] - y[i0]) / jnp.where(x[i1] != x[i0], x[i1] - x[i0], 1.0)
+    hi_slope = (y[i_last] - y[i_m]) / jnp.where(x[i_last] != x[i_m],
+                                                x[i_last] - x[i_m], 1.0)
+    res = jnp.where(xq < x[i0], y[i0] + lo_slope * (xq - x[i0]), res)
+    res = jnp.where(xq > x[i_last],
+                    y[i_last] + hi_slope * (xq - x[i_last]), res)
+    return jnp.where(n_valid >= 2, res, fill_value)
+
+
 def masked_interp_linear(xq, x, y, valid=None, fill_value=jnp.inf):
     """Linear extrapolation from the two edge samples on each side.
 

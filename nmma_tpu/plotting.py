@@ -1,0 +1,180 @@
+"""Plotting + best-fit diagnostics.
+
+Counterpart of ``nmma/em/plotting_utils.py`` (light-curve fit panels) and
+``nmma/em/lightcurve_handling.py:22-152`` (best-fit JSON with per-filter
+chi-square dicts) plus a self-contained corner plot (the reference uses
+bilby/corner). All host-side matplotlib — device code never plots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def compute_chisquare_dict(analysis, bestfit_params):
+    """Per-filter chi^2/dof at the best-fit point, raw and with the
+    systematic error budget (reference compute_chisquare_dict,
+    lightcurve_handling.py:113-152)."""
+    import jax.numpy as jnp
+    lk = analysis.likelihood
+    obs_t, mags = lk.model(bestfit_params)
+    est = np.asarray(lk.expected_mags(obs_t, mags))
+    sigma_sys = np.asarray(lk.systematics(bestfit_params, lk.data.times))
+    out = {}
+    data = lk.data
+    for i, filt in enumerate(lk.filters):
+        det = np.asarray(data.valid[i]) & np.isfinite(np.asarray(data.sigmas[i]))
+        if det.sum() == 0:
+            continue
+        resid = (np.asarray(data.mags[i]) - est[i])[det]
+        sig = np.asarray(data.sigmas[i])[det]
+        sys_err = sigma_sys[i][det]
+        dof = max(int(det.sum()), 1)
+        out[filt] = {
+            "chi2_per_dof": float(np.sum(resid**2 / sig**2) / dof),
+            "chi2_per_dof_with_systematics": float(
+                np.sum(resid**2 / (sig**2 + sys_err**2)) / dof),
+            "n_points": int(det.sum()),
+        }
+    return out
+
+
+def post_process_bestfit(analysis, result=None, save=True):
+    """Best-fit JSON artifact (reference post_process_bestfit :22-111)."""
+    result = result or analysis.result
+    bestfit = analysis.bestfit_parameters(result)
+    chi2 = compute_chisquare_dict(analysis, bestfit)
+    payload = {
+        "Best fit index": int(np.argmax(result.logl)),
+        "log_evidence": result.logz,
+        "log_evidence_err": result.logz_err,
+        "log_likelihood": float(result.logl.max()),
+        "posterior_parameters": bestfit,
+        "chi2_per_dof": chi2,
+    }
+    if save:
+        path = os.path.join(analysis.config.outdir,
+                            f"{analysis.config.label}_bestfit.json")
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+    return payload
+
+
+def lightcurve_fit_plot(analysis, result=None, n_band_samples=60,
+                        save_path=None):
+    """Best-fit light-curve panels with posterior spread bands.
+
+    Counterpart of ``basic_em_analysis_plot`` (em/plotting_utils.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    result = result or analysis.result
+    lk = analysis.likelihood
+    filters = lk.filters
+    bestfit = analysis.bestfit_parameters(result)
+    obs_t, best_mags = lk.model(bestfit)
+    obs_t = np.asarray(obs_t)
+    best_mags = np.asarray(best_mags)
+
+    # posterior band
+    idx = result.posterior_indices()
+    take = idx[np.linspace(0, len(idx) - 1,
+                           min(n_band_samples, len(idx))).astype(int)]
+    u = jnp.asarray(result.samples_u[take])
+    params = analysis.priors.transform(u)
+    band_t, band_mags = jax.vmap(lk.model)(params)
+    band_mags = np.asarray(band_mags)          # [S, F, T]
+
+    n = len(filters)
+    ncols = min(3, n)
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4.2 * ncols, 3.2 * nrows),
+                             squeeze=False, sharex=True)
+    data = lk.data
+    for i, filt in enumerate(filters):
+        ax = axes[i // ncols][i % ncols]
+        valid = np.asarray(data.valid[i])
+        det = valid & np.isfinite(np.asarray(data.sigmas[i]))
+        uplim = valid & ~np.isfinite(np.asarray(data.sigmas[i]))
+        t_i = np.asarray(data.times[i])
+        m_i = np.asarray(data.mags[i])
+        ax.errorbar(t_i[det], m_i[det], yerr=np.asarray(data.sigmas[i])[det],
+                    fmt="o", ms=3, color="k", label="data")
+        if uplim.any():
+            ax.plot(t_i[uplim], m_i[uplim], "v", color="gray", ms=5)
+        sel = np.isfinite(best_mags[i])
+        ax.plot(obs_t[sel], best_mags[i][sel], color="C0", label="best fit")
+        lo = np.nanpercentile(np.where(np.isfinite(band_mags[:, i]),
+                                       band_mags[:, i], np.nan), 5, axis=0)
+        hi = np.nanpercentile(np.where(np.isfinite(band_mags[:, i]),
+                                       band_mags[:, i], np.nan), 95, axis=0)
+        ax.fill_between(np.asarray(band_t)[0], lo, hi, alpha=0.25, color="C0")
+        ax.invert_yaxis()
+        ax.set_title(filt)
+        ax.set_xlabel("time since trigger [days]")
+        ax.set_ylabel("AB magnitude")
+    for j in range(n, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    fig.tight_layout()
+    if save_path is None:
+        save_path = os.path.join(analysis.config.outdir,
+                                 f"{analysis.config.label}_lightcurves.png")
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
+
+
+def corner_plot(samples: dict, parameters=None, truths=None, save_path=None,
+                bins=30):
+    """Minimal corner plot (replaces the external ``corner`` dependency)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if parameters is None:
+        parameters = [k for k, v in samples.items()
+                      if np.ndim(v) == 1 and np.std(v) > 0
+                      and k != "log_likelihood"]
+    n = len(parameters)
+    fig, axes = plt.subplots(n, n, figsize=(2.2 * n, 2.2 * n))
+    if n == 1:
+        axes = np.array([[axes]])
+    for i, pi in enumerate(parameters):
+        for j, pj in enumerate(parameters):
+            ax = axes[i][j]
+            if j > i:
+                ax.axis("off")
+                continue
+            if i == j:
+                ax.hist(samples[pi], bins=bins, histtype="step",
+                        color="C0", density=True)
+                med, lo, hi = np.percentile(samples[pi], [50, 16, 84])
+                ax.set_title(f"{pi}\n${med:.3f}^{{+{hi-med:.3f}}}"
+                             f"_{{-{med-lo:.3f}}}$", fontsize=8)
+                if truths and pi in truths:
+                    ax.axvline(truths[pi], color="C3", lw=1)
+            else:
+                ax.hist2d(samples[pj], samples[pi], bins=bins, cmap="Blues")
+                if truths and pi in truths and pj in truths:
+                    ax.plot(truths[pj], truths[pi], "s", color="C3", ms=4)
+            if i == n - 1:
+                ax.set_xlabel(pj, fontsize=8)
+            else:
+                ax.set_xticklabels([])
+            if j == 0 and i > 0:
+                ax.set_ylabel(pi, fontsize=8)
+            else:
+                ax.set_yticklabels([])
+            ax.tick_params(labelsize=7)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=110)
+        plt.close(fig)
+    return save_path
