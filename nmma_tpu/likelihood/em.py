@@ -33,7 +33,8 @@ from jax.scipy.special import log_ndtr
 
 from ..filters import resolve_filter
 from ..models.base import DetectorLightCurveModel
-from ..ops.interp import masked_interp_sorted_fill
+from ..ops.interp import (masked_interp_sorted_fill,
+                          masked_interp_sorted_fill_pos)
 from .systematics import SystematicsModel
 
 _NEG_INF = -1e30  # finite stand-in for nan_to_num(-inf); safe in f32
@@ -137,6 +138,17 @@ class EMLikelihood:
         self._helper_rows = np.asarray(rows)          # [F, K]
         self._helper_weights = np.asarray(weights)    # [F, K]
 
+        # log-uniform model grids + affine detector-frame time maps allow
+        # closed-form interpolation cell lookup (skips the O(Q x T)
+        # comparison reduction per filter per sample)
+        st = np.asarray(self.model.sample_times)
+        log_st = np.log(st)
+        steps = np.diff(log_st)
+        self._log_t0 = float(log_st[0])
+        self._dlog = float(steps.mean()) if len(steps) else 1.0
+        self._log_uniform_grid = bool(
+            len(steps) and np.allclose(steps, steps.mean(), rtol=1e-4))
+
         # detection limits per observed filter (reference :303-304)
         if detection_limit is None:
             detection_limit = np.inf
@@ -156,15 +168,38 @@ class EMLikelihood:
         filter's observation times (inf outside the modelled range), then
         average (composite filters are magnitude means).
         """
+        if self._log_uniform_grid:
+            # obs_times_model = sample_times * (1+z) + timeshift: invert the
+            # affine map, then the log-uniform grid index is a floor()
+            scale = obs_times_model[-1] - obs_times_model[0]
+            st = np.asarray(self.model.sample_times)
+            one_plus_z = scale / (st[-1] - st[0])
+            shift = obs_times_model[0] - st[0] * one_plus_z
+
+            def positions(t_q):
+                t_src = (t_q - shift) / one_plus_z
+                safe = jnp.maximum(t_src, 1e-30)
+                pos = jnp.floor(
+                    (jnp.log(safe) - self._log_t0) / self._dlog)
+                return jnp.clip(pos, 0, len(st) - 1).astype(jnp.int32)
+        else:
+            positions = None
+
         def one_filter(f_idx):
             t_q = self.data.times[f_idx]
             rows = self._helper_rows[f_idx]
             w = self._helper_weights[f_idx]
+            pos = positions(t_q) if positions is not None else None
             vals = []
             for k in range(rows.shape[0]):
                 # model time grids are monotone -> sort-free masked interp
-                interp = masked_interp_sorted_fill(
-                    t_q, obs_times_model, model_mags[rows[k]], jnp.inf)
+                if pos is not None:
+                    interp = masked_interp_sorted_fill_pos(
+                        t_q, obs_times_model, model_mags[rows[k]], jnp.inf,
+                        pos)
+                else:
+                    interp = masked_interp_sorted_fill(
+                        t_q, obs_times_model, model_mags[rows[k]], jnp.inf)
                 vals.append(jnp.where(w[k] > 0.0, interp * w[k], 0.0))
             return sum(vals)
 

@@ -77,6 +77,49 @@ def masked_interp_fill(xq, x, y, fill, valid=None):
                          fill_value=fill)
 
 
+def masked_interp_sorted_fill_pos(xq, x, y, fill, pos):
+    """masked_interp_sorted_fill with externally supplied cell indices.
+
+    ``pos[i]`` must equal the index of the grid cell containing ``xq[i]``
+    (i.e. ``sum(xq >= x) - 1`` clipped to [0, n-1]). Callers with
+    analytically invertible grids (log-uniform model time grids under an
+    affine detector-frame map) compute ``pos`` in closed form and skip the
+    O(Q x T) comparison reduction — the likelihood hot-path optimisation.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    valid = jnp.isfinite(y)
+    n_valid = jnp.sum(valid)
+    idx = jnp.arange(n)
+
+    left_of = jax.lax.cummax(jnp.where(valid, idx, -1))
+    right_of = n - 1 - jnp.flip(
+        jax.lax.cummax(jnp.flip(jnp.where(valid, n - 1 - idx, -1))))
+
+    pos = jnp.clip(pos, 0, n - 1)
+    l_idx = left_of[pos]
+    r_idx = right_of[jnp.clip(pos + 1, 0, n - 1)]
+    r_idx = jnp.where(pos >= n - 1, left_of[n - 1], r_idx)
+
+    l_ok = l_idx >= 0
+    r_ok = (r_idx >= 0) & (r_idx <= n - 1)
+    l_safe = jnp.clip(l_idx, 0, n - 1)
+    r_safe = jnp.clip(r_idx, 0, n - 1)
+
+    x_l, y_l = x[l_safe], y[l_safe]
+    x_r, y_r = x[r_safe], y[r_safe]
+    span = jnp.where(x_r > x_l, x_r - x_l, 1.0)
+    w = jnp.clip((xq - x_l) / span, 0.0, 1.0)
+    est = y_l + w * (y_r - y_l)
+    est = jnp.where(l_ok & r_ok, est, fill)
+
+    x_first = x[jnp.clip(right_of[0], 0, n - 1)]
+    x_last = x[jnp.clip(left_of[n - 1], 0, n - 1)]
+    est = jnp.where((xq < x_first) | (xq > x_last), fill, est)
+    return jnp.where(n_valid >= 2, est, fill)
+
+
 def masked_interp_sorted_fill(xq, x, y, fill):
     """Masked interpolation for *pre-sorted* x — the likelihood hot path.
 
