@@ -1,0 +1,122 @@
+"""Likelihood-free inference: simulate -> train conditional flow -> sample.
+
+Counterpart of the reference's ``--sampler neuralnet`` path
+(``nmma/em/analysis.py:176-307`` + ``mlmodel/``): train a normalizing-flow
+posterior q(theta | lightcurve) on simulated pairs, then draw ~20k
+posterior samples for observed data in one device pass (no MCMC).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .embedding import LightCurveEmbedding
+from .flows import MaskedAutoregressiveFlow
+
+
+class _ConditionalFlowNet(nn.Module):
+    dim: int
+    n_transforms: int = 6
+    hidden: int = 90
+    embed_dim: int = 20
+
+    def setup(self):
+        self.embedding = LightCurveEmbedding(embed_dim=self.embed_dim)
+        self.flow = MaskedAutoregressiveFlow(
+            dim=self.dim, n_transforms=self.n_transforms, hidden=self.hidden)
+
+    def log_prob(self, theta, lc):
+        ctx = self.embedding(lc)
+        return self.flow.log_prob(theta, ctx)
+
+    def sample(self, key, n, lc):
+        ctx = self.embedding(lc)
+        if ctx.ndim == 2:
+            ctx = ctx[0]
+        return self.flow.sample(key, n, ctx)
+
+
+@dataclass
+class LFIPosterior:
+    """Trained amortized posterior with standardization transforms."""
+
+    net: _ConditionalFlowNet
+    params: dict
+    theta_mean: np.ndarray
+    theta_std: np.ndarray
+    parameter_names: tuple
+
+    def sample(self, key, n, lightcurve):
+        lc = jnp.asarray(lightcurve)
+        if lc.ndim == 2:
+            lc = lc[None]
+        z = self.net.apply(self.params, key, n, lc,
+                           method=_ConditionalFlowNet.sample)
+        theta = np.asarray(z) * self.theta_std + self.theta_mean
+        return {name: theta[:, i]
+                for i, name in enumerate(self.parameter_names)}
+
+    def log_prob(self, theta_dict, lightcurve):
+        theta = jnp.stack([jnp.asarray(theta_dict[p])
+                           for p in self.parameter_names], axis=-1)
+        z = (theta - self.theta_mean) / self.theta_std
+        lc = jnp.asarray(lightcurve)
+        if lc.ndim == 2:
+            lc = lc[None]
+        return self.net.apply(self.params, z, lc,
+                              method=_ConditionalFlowNet.log_prob)
+
+
+def train_flow_posterior(theta, lightcurves, parameter_names,
+                         n_transforms=6, hidden=90, n_epochs=500,
+                         batch_size=256, learning_rate=1e-3, seed=0,
+                         verbose=True) -> LFIPosterior:
+    """Fit q(theta | lc) by maximum likelihood on simulated pairs.
+
+    theta [N, D]; lightcurves [N, F, T] (non-finite mags are zeroed by the
+    embedding, mirroring the reference's padding of non-detections).
+    """
+    theta = np.asarray(theta, dtype=np.float32)
+    lightcurves = np.asarray(lightcurves, dtype=np.float32)
+    n, dim = theta.shape
+    t_mean = theta.mean(axis=0)
+    t_std = theta.std(axis=0) + 1e-8
+    z_all = jnp.asarray((theta - t_mean) / t_std)
+    lc_all = jnp.asarray(lightcurves)
+
+    net = _ConditionalFlowNet(dim=dim, n_transforms=n_transforms,
+                              hidden=hidden)
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params = net.init(init_key, z_all[:2], lc_all[:2],
+                      method=_ConditionalFlowNet.log_prob)
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, z_batch, lc_batch):
+        def loss_fn(p):
+            return -jnp.mean(net.apply(p, z_batch, lc_batch,
+                                       method=_ConditionalFlowNet.log_prob))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for epoch in range(n_epochs):
+        idx = rng.choice(n, size=min(batch_size, n), replace=False)
+        params, opt_state, loss = step(params, opt_state, z_all[idx],
+                                       lc_all[idx])
+        if verbose and epoch % max(1, n_epochs // 5) == 0:
+            print(f"flow epoch {epoch:5d} nll {float(loss):.4f}")
+
+    return LFIPosterior(net=net, params=params, theta_mean=t_mean,
+                        theta_std=t_std,
+                        parameter_names=tuple(parameter_names))
