@@ -74,13 +74,15 @@ def read_bulla_grid(files, model="Bu2019lm_sparse", filters=None):
     Returns (params [N, P], times list, mags [N, F, T_i]-like dict form).
     (reference read_photometry_files 'bulla' branch, nmma/em/io.py:352-377)
     """
+    from ..native import parse_many
     parse, parameter_names = GRID_PARSERS[model]
+    files = sorted(files)
+    tables = parse_many(files)     # native mmap+thread loader (w/ fallback)
     entries = []
-    for fn in sorted(files):
+    for fn, arr in zip(files, tables):
         with open(fn) as f:
             header = f.readline().strip().lstrip("#").split()
         cols = header[1:]                  # first col is t[days]
-        arr = np.loadtxt(fn)
         t = arr[:, 0]
         mags = {c: arr[:, i + 1] for i, c in enumerate(cols)}
         entries.append({"params": parse(fn), "t": t, "mags": mags})
