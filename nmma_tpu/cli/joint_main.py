@@ -134,8 +134,19 @@ def build_joint_likelihood(dump):
     chain.append(C.KilonovaEjectaFitting())
     conversion = C.MultimessengerConversion(*chain)
 
-    likelihoods = [GWTransientLikelihood(dump["ifos"],
-                                         trigger_time=dump["trigger_time"])]
+    # relative binning around the injection (fiducial) waveform: ~300x
+    # fewer waveform evaluations than the dense Whittle sum
+    inj_conv = conversion(dict(dump["injection"]))
+    fiducial = {k: float(np.asarray(v)) for k, v in inj_conv.items()
+                if np.ndim(np.asarray(v)) == 0}
+    from ..gw import RelativeBinningGWLikelihood
+    try:
+        gw_lk = RelativeBinningGWLikelihood(
+            dump["ifos"], fiducial, trigger_time=dump["trigger_time"])
+    except Exception:
+        gw_lk = GWTransientLikelihood(dump["ifos"],
+                                      trigger_time=dump["trigger_time"])
+    likelihoods = [gw_lk]
     sanity = ()
     if dump["em_data"]:
         filters = sorted(dump["em_data"].keys())
