@@ -83,19 +83,17 @@ def _me2017_setup(params, t_days):
     return mej, v0, beta, kappa_r, t, m, vm, xn0, xr, eth
 
 
-def me2017_mags(params, t_days, nu_host):
-    """Me2017 absolute AB magnitudes, [F, T] — parallel-in-time form.
+def _me2017_dynamics_xla(log10_mej, log10_vej, beta, kappa_r, t_days):
+    """Unbatched (ltot40 [T], r_photo [T]) via associative_scan.
 
     The reference's Euler shell loop (``eff_metzger_lc``,
     nmma/em/lightcurve_generation.py:566-652) is *affine* in the shell
-    energy: e_{j+1} = a_j e_j + b_j with a, b independent of e. The whole
-    time recurrence therefore collapses to a prefix composition of affine
-    maps evaluated with ``lax.associative_scan`` — O(log T) depth instead
-    of 150 sequential micro-steps, which is what lets the MXU/VPU see
-    large fused [B, T, S] blocks. Arithmetic is identical to the
-    sequential version up to floating-point reassociation (validated
-    against the f64 oracle in tests).
+    energy: e_{j+1} = a_j e_j + b_j with a, b independent of e, so the
+    time recurrence is a prefix composition of affine maps — O(log T)
+    depth instead of 150 sequential micro-steps.
     """
+    params = {"log10_mej": log10_mej, "log10_vej": log10_vej, "beta": beta,
+              "log10_kappa_r": jnp.log10(kappa_r)}
     _, _, beta, kappa_r, t, m, vm, xn0, xr, eth = _me2017_setup(
         params, t_days)
 
@@ -116,7 +114,6 @@ def me2017_mags(params, t_days, nu_host):
     a = 1.0 - dt_j / t_j - dt_j / denom
     b = dt_j * edot
 
-    # prefix-compose the affine maps: ene_{j} = B_{j-1} (ene_0 = 0)
     def combine(lhs, rhs):
         a1, b1 = lhs
         a2, b2 = rhs
@@ -135,6 +132,45 @@ def me2017_mags(params, t_days, nu_host):
 
     ltot40 = jnp.concatenate([ltot40, jnp.zeros(1)])
     r_photo = jnp.concatenate([r_photo, jnp.zeros(1)])
+    return ltot40, r_photo
+
+
+@jax.custom_batching.custom_vmap
+def _me2017_dynamics(log10_mej, log10_vej, beta, kappa_r, t_days):
+    return _me2017_dynamics_xla(log10_mej, log10_vej, beta, kappa_r, t_days)
+
+
+@_me2017_dynamics.def_vmap
+def _me2017_dynamics_vmap(axis_size, in_batched, log10_mej, log10_vej, beta,
+                          kappa_r, t_days):
+    """Batched rule: on TPU a whole live-point batch goes through the
+    VMEM-resident Pallas kernel; elsewhere fall back to vmapped XLA."""
+    params_batched = in_batched[:4]
+    if all(params_batched) and not in_batched[4] and \
+            jax.default_backend() == "tpu":
+        from ..ops.pallas_me2017 import me2017_dynamics_pallas
+        ltot, rphoto = me2017_dynamics_pallas(
+            log10_mej, log10_vej, beta, kappa_r, t_days)
+        return (ltot, rphoto), (True, True)
+    mapped = jax.vmap(
+        _me2017_dynamics_xla,
+        in_axes=tuple(0 if bb else None for bb in in_batched))
+    args = (log10_mej, log10_vej, beta, kappa_r, t_days)
+    return mapped(*args), (True, True)
+
+
+def me2017_mags(params, t_days, nu_host):
+    """Me2017 absolute AB magnitudes, [F, T].
+
+    The shell dynamics dispatch through a custom-vmap primitive: batched
+    evaluation on TPU runs the fused Pallas kernel
+    (``ops/pallas_me2017.py``); single-sample or CPU evaluation uses the
+    associative-scan XLA form. Both match the f64 oracle in tests.
+    """
+    ltot40, r_photo = _me2017_dynamics(
+        jnp.asarray(params["log10_mej"]), jnp.asarray(params["log10_vej"]),
+        jnp.asarray(params["beta"]),
+        10.0 ** jnp.asarray(params["log10_kappa_r"]), t_days)
     return _me2017_photometry(ltot40, r_photo, t_days, nu_host)
 
 
