@@ -21,6 +21,18 @@ def main(cli_args=None):
     parser = base_analysis_parser("EM transient parameter estimation")
     args = apply_config(parser, config, argv)
 
+    from .multi import expand_runs
+    sub_runs = expand_runs(args)
+    if len(sub_runs) > 1:
+        out = None
+        for run_args in sub_runs:
+            print(f"=== sub-run {run_args.label} ===")
+            out = _single_run(run_args)
+        return out
+    return _single_run(args)
+
+
+def _single_run(args):
     import jax  # deferred so --help is instant
     from ..analysis import EMAnalysis, EMAnalysisConfig
     from ..models.svd import SVDModelData, make_svd_source_model

@@ -103,6 +103,18 @@ def base_analysis_parser(description=""):
     p.add_argument("--plot", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--bestfit", action="store_true", default=True)
+
+    def yaml_dict(value):
+        import yaml
+        if isinstance(value, dict):
+            return value
+        return yaml.safe_load(value)
+
+    p.add_argument("--multi", type=yaml_dict, default=None,
+                   help="yaml dict mapping a flag to values (or named runs "
+                        "to override dicts); expands into sub-runs")
+    p.add_argument("--matrix", type=yaml_dict, default=None,
+                   help="yaml dict of flag -> value list; cartesian product")
     return p
 
 

@@ -1,5 +1,8 @@
 from .eos import EOSTable, TabulatedEOSSet, load_macro_eos_set
+from .generation import (crust_from_micro_table, eos_from_nep,
+                         nep_eos_table)
 from .tov import construct_family, tov_solve
 
 __all__ = ["EOSTable", "TabulatedEOSSet", "load_macro_eos_set",
-           "tov_solve", "construct_family"]
+           "tov_solve", "construct_family", "eos_from_nep",
+           "crust_from_micro_table", "nep_eos_table"]

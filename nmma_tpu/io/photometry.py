@@ -150,6 +150,28 @@ def shift_to_trigger_time(data, trigger_time):
     }
 
 
+def convert_skyportal_lcs(csv_path, out_path=None):
+    """SkyPortal photometry csv -> nmma-standard whitespace .dat file.
+
+    Counterpart of ``convert_skyportal_lcs`` (nmma/em/io.py:193-232):
+    columns mjd, filter, mag, magerr (non-detections: limiting_mag with
+    inf error).
+    """
+    import pandas as pd
+    df = pd.read_csv(csv_path)
+    if out_path is None:
+        out_path = str(csv_path).rsplit(".", 1)[0] + ".dat"
+    with open(out_path, "w") as f:
+        for _, row in df.iterrows():
+            mag = row.get("mag")
+            err = row.get("magerr")
+            if mag is None or (isinstance(mag, float) and np.isnan(mag)):
+                mag = row.get("limiting_mag", np.nan)
+                err = np.inf
+            f.write(f"{row['mjd']} {row['filter']} {mag} {err}\n")
+    return out_path
+
+
 def remove_nondetections(data):
     """Drop upper-limit samples (inf error); drop filters left empty."""
     out = {}

@@ -171,10 +171,11 @@ class DetectorLightCurveModel:
             sample_times if sample_times is not None else self.source.time_grid()
         )
         self.cosmology = cosmology or get_cosmology()
-        if extinction_law != "P92_SMC_host":
-            raise NotImplementedError(
-                "only the P92_SMC_host extinction law is implemented so far"
-            )
+        if extinction_law not in ("P92_SMC_host", "G23_MW"):
+            raise ValueError(
+                f"unknown extinction_law {extinction_law!r}; use "
+                "'P92_SMC_host' or 'G23_MW'")
+        self.extinction_law = extinction_law
 
     # -- parameter plumbing (trace-time key logic, jnp value ops) -----------
     def prepare_parameters(self, parameters):
@@ -222,7 +223,12 @@ class DetectorLightCurveModel:
             # (nmma/em/model.py:526-529)
             return observable_times, mags / (1.0 + z) ** 2
 
-        ext_mag = extinction_mags_p92_smc(self.nu_0s, jnp.asarray(p["Ebv"]), z)
+        if self.extinction_law == "G23_MW":
+            from ..ops.extinction import extinction_mags_mw
+            ext_mag = extinction_mags_mw(self.nu_0s, jnp.asarray(p["Ebv"]))
+        else:
+            ext_mag = extinction_mags_p92_smc(self.nu_0s,
+                                              jnp.asarray(p["Ebv"]), z)
         redshift_correction = -2.5 * jnp.log10(1.0 + z)
         apparent = mags + ext_mag[:, None] + p["distance_modulus"] + redshift_correction
 

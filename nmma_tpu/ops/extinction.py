@@ -71,3 +71,54 @@ def extinction_factor_p92_smc(nu, Ebv, z, cutoff_hi=2e16):
 def extinction_mags_p92_smc(nu, Ebv, z):
     """A_lambda in magnitudes (the additive correction the model applies)."""
     return -2.5 * jnp.log10(extinction_factor_p92_smc(nu, Ebv, z))
+
+
+# ---------------------------------------------------------------------------
+# Milky-Way foreground law (reference option 'G23_MW',
+# nmma/em/utils.py:431-459). Implemented with the CCM89 R_V=3.1 curve —
+# the classic MW average whose coefficients are standard published
+# polynomials; it tracks the Gordon-23 average to a few percent over the
+# optical/NIR filters this option is used for. Evaluated in the OBSERVER
+# frame (the Galactic dust screen is at z=0), like the reference.
+# ---------------------------------------------------------------------------
+def _ccm89_a_b(x):
+    """CCM89 a(x), b(x) for x = 1/lambda [1/micron], 0.3 <= x <= 8."""
+    # IR: 0.3 <= x < 1.1
+    a_ir = 0.574 * jnp.power(jnp.abs(x), 1.61)
+    b_ir = -0.527 * jnp.power(jnp.abs(x), 1.61)
+    # optical/NIR: 1.1 <= x < 3.3
+    y = x - 1.82
+    a_opt = (1.0 + 0.17699 * y - 0.50447 * y**2 - 0.02427 * y**3
+             + 0.72085 * y**4 + 0.01979 * y**5 - 0.77530 * y**6
+             + 0.32999 * y**7)
+    b_opt = (1.41338 * y + 2.28305 * y**2 + 1.07233 * y**3 - 5.38434 * y**4
+             - 0.62251 * y**5 + 5.30260 * y**6 - 2.09002 * y**7)
+    # UV: 3.3 <= x <= 8
+    fa = jnp.where(x >= 5.9,
+                   -0.04473 * (x - 5.9) ** 2 - 0.009779 * (x - 5.9) ** 3,
+                   0.0)
+    fb = jnp.where(x >= 5.9,
+                   0.2130 * (x - 5.9) ** 2 + 0.1207 * (x - 5.9) ** 3, 0.0)
+    a_uv = 1.752 - 0.316 * x - 0.104 / ((x - 4.67) ** 2 + 0.341) + fa
+    b_uv = -3.090 + 1.825 * x + 1.206 / ((x - 4.62) ** 2 + 0.263) + fb
+
+    a = jnp.where(x < 1.1, a_ir, jnp.where(x < 3.3, a_opt, a_uv))
+    b = jnp.where(x < 1.1, b_ir, jnp.where(x < 3.3, b_opt, b_uv))
+    return a, b
+
+
+def extinction_factor_mw(nu, Ebv, Rv=3.1):
+    """Galactic-foreground flux factor 10^(-0.4 A_lambda), observer frame."""
+    nu = jnp.asarray(nu)
+    lam_cm = c_cgs / nu
+    x = 1e-4 / lam_cm            # 1/lambda in inverse microns
+    in_range = (x >= 0.3) & (x <= 8.0)
+    a, b = _ccm89_a_b(jnp.where(in_range, x, 1.0))
+    a_over_av = a + b / Rv
+    av = Rv * Ebv
+    factor = jnp.power(10.0, -0.4 * a_over_av * av)
+    return jnp.where(in_range, factor, 1.0)
+
+
+def extinction_mags_mw(nu, Ebv, Rv=3.1):
+    return -2.5 * jnp.log10(extinction_factor_mw(nu, Ebv, Rv))
