@@ -82,6 +82,29 @@ def generate_mass_parameters(parameters):
     return p
 
 
+def cosmology_to_distance(parameters, cosmology=None):
+    """Hubble-constant-aware distance <-> redshift conversion.
+
+    Counterpart of ``cosmology_to_distance`` (conversion.py:66-102): when
+    'Hubble_constant' is sampled, z(d_L) is evaluated under the modified
+    cosmology. At fixed density parameters d_L(z) H0 is exactly
+    H0-invariant, so the fiducial interpolation grid serves every sample:
+    z = z_fid(d_L * H0 / H0_fid).
+    """
+    p = dict(parameters)
+    if "Hubble_constant" not in p:
+        return p
+    cosmo = cosmology or get_cosmology()
+    h_ratio = jnp.asarray(p["Hubble_constant"]) / cosmo.H0
+    if "luminosity_distance" in p:
+        p["redshift"] = cosmo.redshift_at_dl(
+            jnp.asarray(p["luminosity_distance"]) * h_ratio)
+    elif "redshift" in p:
+        p["luminosity_distance"] = cosmo.luminosity_distance(
+            jnp.asarray(p["redshift"])) / h_ratio
+    return p
+
+
 def source_frame_masses(parameters, cosmology=None):
     """Detector-frame -> source-frame masses via z(d_L).
 

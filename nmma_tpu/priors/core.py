@@ -228,6 +228,12 @@ class Interped(Prior):
             hi = maximum if maximum is not None else xx[-1]
             mask = (xx >= lo) & (xx <= hi)
             xx, yy = xx[mask], yy[mask]
+        # densify so the trapezoid CDF resolves the interpolated density
+        # (a 2-node linear density would otherwise invert to uniform)
+        if len(xx) < 256:
+            dense_x = np.linspace(xx[0], xx[-1], 1024)
+            yy = np.interp(dense_x, xx, yy)
+            xx = dense_x
         super().__init__(name=name, latex_label=latex_label, minimum=xx[0],
                          maximum=xx[-1])
         cdf = np.concatenate([[0.0], np.cumsum(0.5 * (yy[1:] + yy[:-1])

@@ -1,0 +1,83 @@
+"""Ebv/Hubble priors, conditional inclination, detector filter sets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_extinction_prior_linear_decay():
+    from nmma_tpu.priors import extinction_prior
+    priors = {}
+    extinction_prior(priors, Ebv_max=0.6, use_Ebv=True)
+    p = priors["Ebv"]
+    u = jnp.linspace(0.001, 0.999, 2001)
+    x = np.asarray(p.transform(u))
+    assert 0 <= x.min() and x.max() <= 0.6
+    # linear-decay density: median well below the midpoint
+    assert np.interp(0.5, np.linspace(0, 1, len(x)), np.sort(x)) < 0.3
+
+
+def test_hubble_conversion_exact_invariance():
+    from nmma_tpu import conversion as C
+    from nmma_tpu.cosmology import PLANCK18
+    # with H0' = 1.1 H0, a source at z should appear at dL/1.1
+    z_true = 0.05
+    dl_fid = float(np.asarray(PLANCK18.luminosity_distance(z_true)))
+    p = C.cosmology_to_distance({
+        "Hubble_constant": PLANCK18.H0 * 1.1,
+        "luminosity_distance": dl_fid / 1.1})
+    np.testing.assert_allclose(float(np.asarray(p["redshift"])), z_true,
+                               rtol=1e-4)
+
+
+def test_conditional_iota_given_thetacore():
+    from nmma_tpu.priors import PriorDict, Uniform
+    from nmma_tpu.priors.core import ConditionalGaussianIotaGivenThetaCore
+    priors = PriorDict({
+        "thetaCore": Uniform(minimum=0.02, maximum=0.2),
+        "inclination_EM": ConditionalGaussianIotaGivenThetaCore(
+            N_sigma=1.0, minimum=0.0, maximum=np.pi / 2),
+    })
+    u = jax.random.uniform(jax.random.PRNGKey(0), (4000, 2))
+    params = priors.transform(u)
+    iota = np.asarray(params["inclination_EM"])
+    theta_c = np.asarray(params["thetaCore"])
+    assert np.all(iota >= 0) and np.all(iota <= np.pi / 2)
+    # half-gaussian width ~ N_sigma * thetaCore: iota concentrates near 0
+    assert np.median(iota) < 0.25
+    # wider cores permit wider inclinations
+    wide = iota[theta_c > 0.15]
+    narrow = iota[theta_c < 0.05]
+    assert wide.mean() > narrow.mean()
+
+
+def test_create_prior_from_args(tmp_path):
+    from nmma_tpu.priors import create_prior_from_args
+    pf = tmp_path / "test.prior"
+    pf.write_text(
+        "thetaCore = Uniform(name='thetaCore', minimum=0.01, maximum=0.1)\n"
+        "inclination_EM = Sine(minimum=0., maximum=np.pi/2.)\n"
+        "luminosity_distance = Uniform(minimum=1., maximum=200.)\n")
+    priors = create_prior_from_args(
+        str(pf), use_Ebv=True, Ebv_max=0.5,
+        conditional_gaussian_prior_thetaObs=True, sample_hubble=True,
+        hubble_kind="planck")
+    assert "Ebv" in priors.priors
+    assert "Hubble_constant" in priors.priors
+    # transform works (conditional resolved after its parent)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (16, priors.ndim))
+    params = priors.transform(u)
+    assert np.all(np.asarray(params["inclination_EM"]) <= np.pi / 2)
+    assert 64 < float(np.mean(np.asarray(params["Hubble_constant"]))) < 70
+
+
+def test_detector_filter_sets():
+    from nmma_tpu.em_detectors import create_detection_limit, set_filters
+    assert set_filters(em_detectors="ztf") == ["ztfg", "ztfr", "ztfi"]
+    assert set_filters(rubin_too_type="silver") == ["ps1::g", "ps1::i"]
+    assert set_filters(filters="ztfg, ztfr") == ["ztfg", "ztfr"]
+    limits = create_detection_limit(["ztfg", "ztfr"], em_detectors="ztf")
+    assert limits == {"ztfg": 21.7, "ztfr": 21.4}
+    limits2 = create_detection_limit(["ztfg"], detection_limit=22.0)
+    assert limits2 == {"ztfg": 22.0}
