@@ -438,6 +438,28 @@ class KilonovaEjectaFitting:
         return p
 
 
+def generate_posterior_parameters(posterior):
+    """Add derived columns to a posterior dict.
+
+    Counterpart of the reference's posterior conversion
+    (``nmma/gw/gw_likelihood.py:214-235``): chi_eff, lambda_tilde, source
+    masses, mass ratio.
+    """
+    p = dict(posterior)
+    if "mass_1" in p and "mass_2" in p:
+        m1, m2 = jnp.asarray(p["mass_1"]), jnp.asarray(p["mass_2"])
+        p.setdefault("mass_ratio", m2 / m1)
+        p.setdefault("chirp_mass", component_masses_to_chirp_mass(m1, m2))
+        if "chi_1" in p and "chi_2" in p:
+            p.setdefault("chi_eff", chi_eff(m1, m2, jnp.asarray(p["chi_1"]),
+                                            jnp.asarray(p["chi_2"])))
+        if "lambda_1" in p and "lambda_2" in p:
+            p.setdefault("lambda_tilde", lambda_1_lambda_2_to_lambda_tilde(
+                jnp.asarray(p["lambda_1"]), jnp.asarray(p["lambda_2"]),
+                m1, m2))
+    return p
+
+
 class MultimessengerConversion:
     """Ordered conversion pipeline (conversion.py:768-824)."""
 

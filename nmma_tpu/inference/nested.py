@@ -253,6 +253,22 @@ class NestedSampler:
         dead_u, dead_logl, dead_logw, dead_logx = [], [], [], []
         t_last_ckpt = time.time()
 
+        # preemption handling: SIGTERM/SIGINT/SIGUSR1 -> checkpoint + exit
+        # (reference signal discipline, nmma/core/mpi_setup.py:639-649)
+        interrupted = {"flag": False}
+        old_handlers = {}
+        if checkpoint_path is not None:
+            import signal
+
+            def _handler(signum, frame):
+                interrupted["flag"] = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGUSR1):
+                try:
+                    old_handlers[sig] = signal.signal(sig, _handler)
+                except (ValueError, OSError):
+                    pass
+
         if resume and checkpoint_path is not None:
             loaded = self.load_checkpoint(checkpoint_path)
             if loaded is not None:
@@ -279,15 +295,24 @@ class NestedSampler:
                       f"eff={eff:5.3f} scale={float(state.scale):7.4f}",
                       flush=True)
             if checkpoint_path is not None and \
-                    time.time() - t_last_ckpt > cfg.check_point_delta_t:
+                    (interrupted["flag"] or
+                     time.time() - t_last_ckpt > cfg.check_point_delta_t):
                 self.save_checkpoint(checkpoint_path, state,
                                      (dead_u, dead_logl, dead_logw, dead_logx))
                 t_last_ckpt = time.time()
+            if interrupted["flag"]:
+                print("interrupt received: checkpoint written, exiting run "
+                      "loop (resume with resume=True)", flush=True)
+                break
             if dlogz < cfg.dlogz:
                 break
             if int(state.it) >= cfg.max_iter:
                 break
 
+        if old_handlers:
+            import signal
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
         return self._finalise(state, dead_u, dead_logl, dead_logw, dead_logx)
 
     # ------------------------------------------------------------------

@@ -49,7 +49,8 @@ def create_light_curve_data(injection_parameters, model, filters,
                             injection_error_budget=0.1,
                             detection_limit=np.inf,
                             keep_infinite_data=False,
-                            trigger_time=None):
+                            trigger_time=None,
+                            ztf_sampling=False, rubin_too_type=None):
     """Synthetic photometry from injection parameters.
 
     Reference semantics (lightcurve_generation.py:816-917): detector-frame
@@ -70,6 +71,49 @@ def create_light_curve_data(injection_parameters, model, filters,
 
     if trigger_time is None:
         trigger_time = injection_parameters.get("trigger_time", 0.0)
+
+    # realistic telescope cadences (reference adjust_lc_for_telescopes,
+    # lightcurve_generation.py:861-897)
+    strategy = []
+    if rubin_too_type:
+        from .strategies import rubin_strategy
+        strategy.extend(rubin_strategy(rubin_too_type))
+    if ztf_sampling:
+        from .strategies import ztf_strategy
+        strategy.extend(ztf_strategy(rng))
+    if strategy:
+        from .strategies import apply_strategy
+        true_data = {f: {"time": np.asarray(obs_times) + trigger_time,
+                         "mag": mags[i]}
+                     for i, f in enumerate(filters)}
+        observed = apply_strategy(true_data, strategy,
+                                  trigger_time=trigger_time)
+        if np.isscalar(detection_limit) or detection_limit is None:
+            limits = {f: float(detection_limit if detection_limit is not None
+                               else np.inf) for f in observed}
+        else:
+            limits = dict(detection_limit)
+        if np.isscalar(injection_error_budget):
+            dmag = {f: float(injection_error_budget) for f in observed}
+        else:
+            dmag = dict(injection_error_budget)
+        data = {}
+        for filt, sub in observed.items():
+            noisy = sub["mag"] + rng.normal(scale=dmag[filt],
+                                            size=len(sub["mag"]))
+            det_lim = limits.get(filt, np.inf)
+            detected = noisy < det_lim
+            mag_out = np.where(detected, noisy, det_lim)
+            err_out = np.where(detected, dmag[filt], np.inf)
+            if not keep_infinite_data:
+                finite = np.isfinite(mag_out)
+                data[filt] = {"time": sub["time"][finite],
+                              "mag": mag_out[finite],
+                              "mag_error": err_out[finite]}
+            else:
+                data[filt] = {"time": sub["time"], "mag": mag_out,
+                              "mag_error": err_out}
+        return data
 
     if np.isscalar(detection_limit) or detection_limit is None:
         limits = {f: float(detection_limit if detection_limit is not None
