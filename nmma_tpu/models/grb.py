@@ -125,6 +125,21 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
     r17 = r_grid * 1e-17
     _MSW_COEF = (4.0 * np.pi / 3.0) * _MP * c_cgs**2 * 1e51 / 1e50
     m_sw_c2_50 = _MSW_COEF * n0 * r17**3                           # [R]
+
+    # magnetar-style energy injection (afterglowpy L0/q/ts convention:
+    # L(t) = L0 (t/ts)^-q for t > ts, integrated into the blast energy).
+    # L0 (~1e47 erg/s) overflows f32, so it is carried as L0/1e50: sampled
+    # runs should provide 'log10_L0'; a concrete float 'L0' is rescaled
+    # host-side.
+    if "log10_L0" in params:
+        l0_50 = 10.0 ** (jnp.asarray(params["log10_L0"]) - 50.0)
+    else:
+        l0_raw = params.get("L0", 0.0)
+        l0_50 = (float(l0_raw) / 1e50 if isinstance(l0_raw, (int, float))
+                 else jnp.asarray(l0_raw) * 1e-25 * 1e-25)
+    q_inj = jnp.asarray(params.get("q", 0.0))
+    ts_inj = jnp.maximum(jnp.asarray(params.get("ts", 0.0)), 1.0)
+
     u2 = e_iso50[:, None] / m_sw_c2_50[None, :]                    # [Th, R]
     u2 = jnp.minimum(u2, 1e8)
     gamma = jnp.sqrt(1.0 + u2)
@@ -138,6 +153,48 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
         r_grid[0] * inv_bc[:, :1] + jnp.cumsum(
             0.5 * (inv_bc[:, 1:] + inv_bc[:, :-1]) * dr[None, :], axis=1),
     ], axis=1)                                                     # [Th, R]
+
+    # apply energy injection and lateral spreading as corrections over the
+    # first-pass dynamics, then recompute (Gamma, beta, t_b) once.
+    # 1) injected energy up to t_b:
+    #    int_ts^t L dt = L0 ts ((t/ts)^{1-q} - 1)/(1-q)   (q != 1)
+    #                  = L0 ts ln(t/ts)                    (q == 1)
+    t_ratio = jnp.maximum(t_b / ts_inj, 1.0)
+    one_m_q = 1.0 - q_inj
+    safe_denom = jnp.where(jnp.abs(one_m_q) > 1e-3, one_m_q, 1.0)
+    powerlaw = (jnp.power(t_ratio, one_m_q) - 1.0) / safe_denom
+    log_case = jnp.log(t_ratio)
+    integral = jnp.where(jnp.abs(one_m_q) > 1e-3, powerlaw, log_case)
+    e_inj50 = jnp.maximum(
+        jnp.where(l0_50 > 0.0, l0_50 * ts_inj * integral, 0.0), 0.0)
+    # 2) optional lateral spreading (opt-in; the unspread dynamics
+    #    reproduce the observed GW170817 morphology better under this
+    #    ring-independent approximation): rings widen once Gamma < 1/theta,
+    #    inflating the swept mass by (theta_eff/theta)^2
+    if params.get("spread", False):
+        inv_gamma = 1.0 / gamma                                    # [Th, R]
+        dtheta = jnp.concatenate([
+            jnp.zeros((N_THETA, 1)),
+            jnp.cumsum(jnp.where(
+                inv_gamma[:, :-1] > theta[:, None],
+                (dr / r_grid[:-1])[None, :] * inv_gamma[:, :-1],
+                0.0), axis=1)], axis=1)
+        theta_eff = jnp.minimum(theta[:, None] + dtheta, jnp.pi / 2.0)
+        spread_factor = (theta_eff / theta[:, None]) ** 2
+    else:
+        spread_factor = 1.0
+
+    u2 = (e_iso50[:, None] + e_inj50) / (m_sw_c2_50[None, :]
+                                         * spread_factor)
+    u2 = jnp.minimum(u2, 1e8)
+    gamma = jnp.sqrt(1.0 + u2)
+    beta = jnp.sqrt(u2 / (1.0 + u2))
+    inv_bc = 1.0 / (beta * c_cgs)
+    t_b = jnp.concatenate([
+        (r_grid[0] * inv_bc[:, :1]),
+        r_grid[0] * inv_bc[:, :1] + jnp.cumsum(
+            0.5 * (inv_bc[:, 1:] + inv_bc[:, :-1]) * dr[None, :], axis=1),
+    ], axis=1)
 
     # synchrotron quantities on the R grid ----------------------------------
     b_field = jnp.sqrt(32.0 * jnp.pi * eps_b * gamma * (gamma - 1.0 + 1e-12)
