@@ -74,6 +74,52 @@ def _single_run(args):
     return analysis
 
 
+def lbol_main(cli_args=None):
+    """``lightcurve-analysis-lbol`` — bolometric (Arnett) PE.
+
+    Counterpart of ``nmma.em.analysis:lbol_main`` + ``bolometric_setup``
+    (em/analysis.py:72-108): csv with phase/Lbb/Lbb_unc columns.
+    """
+    config, argv = check_for_config(cli_args)
+    parser = base_analysis_parser("Bolometric light-curve PE")
+    args = apply_config(parser, config, argv)
+
+    import jax
+    import pandas as pd
+
+    from ..inference import NestedSampler
+    from ..likelihood.bolometric import BolometricLikelihood
+    from ..models import DetectorLightCurveModel
+    from ..priors import load_prior_file
+
+    df = pd.read_csv(args.light_curve_data)
+    order = np.argsort(df["phase"].to_numpy())
+    times = df["phase"].to_numpy()[order] - (args.trigger_time or 0.0)
+    lbol = df["Lbb"].to_numpy()[order]
+    lbol_err = df["Lbb_unc"].to_numpy()[order]
+
+    model = DetectorLightCurveModel(args.model or "Arnett", [])
+    likelihood = BolometricLikelihood(model, times, lbol, lbol_err)
+    priors = load_prior_file(args.prior)
+
+    def unit_logl(u):
+        return likelihood(priors.transform(u))
+
+    from .parsing import sampler_config_from_args
+    sampler = NestedSampler(jax.vmap(unit_logl), priors.ndim,
+                            sampler_config_from_args(args))
+    os.makedirs(args.outdir, exist_ok=True)
+    result = sampler.run(verbose=args.verbose)
+    print(f"log-evidence: {result.logz:.3f} +/- {result.logz_err:.3f}")
+    import jax.numpy as jnp
+    idx = result.posterior_indices()
+    post = priors.transform(jnp.asarray(result.samples_u[idx]))
+    np.savez(os.path.join(args.outdir, f"{args.label}_result.npz"),
+             logz=result.logz, logz_err=result.logz_err,
+             **{f"posterior_{k}": np.asarray(v) for k, v in post.items()})
+    return result
+
+
 def data_from_injection(args):
     """Synthesize photometry from an injection file entry.
 
