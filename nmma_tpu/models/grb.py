@@ -224,23 +224,38 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
     t_obs = jnp.asarray(t_obs_day) * seconds_a_day                 # [T]
     nu_obs = jnp.atleast_1d(jnp.asarray(nu_obs))                   # [F]
 
+    # log-space dynamical tracks, shared across surface elements
+    log_tracks = jnp.stack([
+        jnp.log(gamma),
+        jnp.log(jnp.maximum(nu_m_prime, 1e-30)),
+        jnp.log(jnp.maximum(nu_c_prime, 1e-30)),
+        jnp.log(jnp.maximum(p_max_prime, 1e-38)),
+        jnp.broadcast_to(jnp.log(jnp.maximum(n_e50, 1e-38)),
+                         gamma.shape),
+    ])                                                             # [5, Th, R]
+    log_q = jnp.log(t_obs)                                         # [T]
+
     def element_flux(th_idx, mu_el):
-        """[F, T] flux contribution of one surface element (x dOmega)."""
+        """[F, T] flux contribution of one surface element (x dOmega).
+
+        One shared cell/weight computation resamples all five dynamical
+        tracks (the per-quantity masked interpolation dominated the
+        kernel cost)."""
         t_obs_grid = (1.0 + z) * (t_b[th_idx] - mu_el * r_grid / c_cgs)
         log_t = jnp.log(jnp.maximum(t_obs_grid, 1e-10))
-        log_q = jnp.log(t_obs)
 
-        def at_t(vals):
-            return jnp.exp(masked_interp_sorted_fill(
-                log_q, log_t, jnp.log(jnp.maximum(vals, 1e-38)), -jnp.inf))
+        pos = jnp.clip(jnp.sum(log_q[:, None] >= log_t[None, :], axis=1) - 1,
+                       0, N_R - 2)                                  # [T]
+        x0 = log_t[pos]
+        x1 = log_t[pos + 1]
+        w = jnp.clip((log_q - x0) / jnp.maximum(x1 - x0, 1e-12), 0.0, 1.0)
+        tr = log_tracks[:, th_idx]                                  # [5, R]
+        vals = jnp.exp(tr[:, pos] * (1.0 - w) + tr[:, pos + 1] * w)  # [5, T]
+        in_range = (log_q >= log_t[0]) & (log_q <= log_t[-1])
+        g, num, nuc, pmax, ne50 = vals
+        ne50 = jnp.where(in_range, ne50, 0.0)   # outside grid: no emission
 
-        g = at_t(gamma[th_idx])
         be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / g**2, 0.0))
-        num = at_t(nu_m_prime[th_idx])
-        nuc = at_t(nu_c_prime[th_idx])
-        pmax = at_t(p_max_prime[th_idx])
-        ne50 = at_t(n_e50)
-
         doppler = 1.0 / (g * (1.0 - be * mu_el) + 1e-12)           # [T]
         nu_prime = nu_obs[:, None] * (1.0 + z) / doppler[None, :]  # [F, T]
         shape = _synchrotron_shape(nu_prime, num[None, :], nuc[None, :], p)
@@ -295,6 +310,11 @@ def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN):
     (model.py:833-843) become an all-inf mask.
     """
     p = dict(params)
+    # reference prior files use ksiN / dL spellings (priors/TrPi2018.prior)
+    if "ksiN" in p and "xi_N" not in p:
+        p["xi_N"] = p["ksiN"]
+    if "dL" in p and "d_L" not in p:
+        p["d_L"] = p["dL"]
     p.setdefault("d_L", 3.086e19)    # 10 pc in cm (reference default)
     theta_wing = jnp.asarray(p.get("thetaWing",
                                    4.0 * jnp.asarray(p["thetaCore"])))
