@@ -141,6 +141,25 @@ class EMAnalysis:
                  logz=result.logz, logz_err=result.logz_err,
                  ncall=result.ncall, niter=result.niter,
                  **{f"posterior_{k}": v for k, v in post.items()})
+        # result metadata sidecar (reference stores args/versions in every
+        # result, mpi_setup.py:497-512 / generation.py:42-49)
+        from dataclasses import asdict
+        import nmma_tpu
+        meta = {
+            "nmma_tpu_version": nmma_tpu.__version__,
+            "jax_version": __import__("jax").__version__,
+            "config": {k: (v if isinstance(v, (int, float, str, bool,
+                                               type(None), list)) else str(v))
+                       for k, v in asdict(cfg).items()},
+            "log_evidence": result.logz,
+            "log_evidence_err": result.logz_err,
+            "num_likelihood_evaluations": result.ncall,
+            "sampling_time_iterations": result.niter,
+            "parameters": self.priors.sampled_names,
+        }
+        with open(os.path.join(cfg.outdir, f"{cfg.label}_result_meta.json"),
+                  "w") as f:
+            json.dump(meta, f, indent=2, default=str)
         bestfit = self.bestfit_parameters(result)
         bestfit["log_likelihood"] = float(result.logl.max())
         bestfit["log_evidence"] = result.logz

@@ -438,6 +438,20 @@ class KilonovaEjectaFitting:
         return p
 
 
+def convert_mtot_mni(parameters):
+    """AnBa2022 supernova conversions (conversion.py:185-193): linear
+    masses from log10 sampling + derived mni_c / mrp_c combinations."""
+    p = dict(parameters)
+    for par in ("mni", "mtot", "mrp"):
+        if par not in p and f"log10_{par}" in p:
+            p[par] = 10.0 ** jnp.asarray(p[f"log10_{par}"])
+    p["mni_c"] = jnp.asarray(p["mni"]) / jnp.asarray(p["mtot"])
+    p["mrp_c"] = (jnp.asarray(p["xmix"])
+                  * (jnp.asarray(p["mtot"]) - jnp.asarray(p["mni"]))
+                  - jnp.asarray(p["mrp"]))
+    return p
+
+
 def generate_posterior_parameters(posterior):
     """Add derived columns to a posterior dict.
 

@@ -66,6 +66,13 @@ _register("Bu2022Ye", ["log10_mej_dyn", "vej_dyn", "Yedyn", "log10_mej_wind",
           [1, 2, 3, 4, 5, 6], log_indices=(1, 4))
 _register("Ka2017", ["log10_mej", "log10_vej", "log10_Xlan"],
           [0, 1, 2], log_indices=(0, 1, 2))
+# AnBa2022 family (reference model_parameters.py:8-96; 'm56' -> mni handled
+# by the numeric extraction; masses interpolated in log10 for the _log set)
+_register("AnBa2022_linear", ["mtot", "mni", "vej", "mrp", "xmix"],
+          [0, 2, 1, 3, 4])
+_register("AnBa2022_log", ["log10_mtot", "log10_mni", "vej", "log10_mrp",
+                           "xmix"], [0, 2, 1, 3, 4], log_indices=(0, 2, 3))
+_register("AnBa2022_sparse", ["mrp", "xmix"], [3, 4])
 
 
 def read_bulla_grid(files, model="Bu2019lm_sparse", filters=None):
