@@ -71,6 +71,15 @@ def _single_run(args):
     result = analysis.run(verbose=True)
     print(f"log-evidence: {result.logz:.3f} +/- {result.logz_err:.3f} "
           f"({result.ncall} likelihood calls)")
+    if args.bestfit:
+        from ..plotting import post_process_bestfit
+        post_process_bestfit(analysis)
+    if args.plot:
+        from ..plotting import corner_plot, lightcurve_fit_plot
+        lightcurve_fit_plot(analysis)
+        corner_plot(analysis.posterior_samples(),
+                    save_path=os.path.join(cfg.outdir,
+                                           f"{cfg.label}_corner.png"))
     return analysis
 
 
