@@ -16,7 +16,7 @@ Neff=3.046, m_nu=[0, 0, 0.06] eV) matching astropy's ``Planck18``.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 import jax
 import jax.numpy as jnp

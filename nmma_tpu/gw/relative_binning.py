@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .likelihood import InterferometerData, project_signal
+from .likelihood import project_signal
 from .waveforms import taylorf2_tidal
 
 _GAMMA = np.array([-5.0 / 3.0, -2.0 / 3.0, 1.0, 5.0 / 3.0, 7.0 / 3.0])

@@ -28,7 +28,7 @@ rate, mirroring dynesty's rwalk tuning.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, NamedTuple
 
 import jax

@@ -10,9 +10,6 @@ are pure jax functions batched on the MXU.
 
 from __future__ import annotations
 
-from dataclasses import field
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -19,15 +19,13 @@ struct-of-arrays parameter dict to evaluate a whole live-point batch.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import cosmology as cosmo_mod
-from ..constants import c_SI
 from ..cosmology import distance_modulus, get_cosmology
 from ..filters import filters_to_frequencies
 from ..ops.extinction import extinction_mags_p92_smc

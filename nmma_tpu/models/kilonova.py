@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import (arad, c_cgs, msun_cgs, seconds_a_day, sigSB)
+from ..constants import c_cgs, msun_cgs, seconds_a_day, sigSB
 from ..ops.interp import masked_interp_linear_sorted
 from ..ops.photometry import blackbody_ab_mag, flux_to_ab_mag
 from .base import SourceModel, register_source_model

@@ -23,7 +23,6 @@ keras/h5 weights) via ``ingest_nmma_svd_model``.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 

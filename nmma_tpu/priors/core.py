@@ -15,8 +15,6 @@ conditional-resolution convention.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
