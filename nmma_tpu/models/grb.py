@@ -316,8 +316,13 @@ def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN):
     if "dL" in p and "d_L" not in p:
         p["d_L"] = p["dL"]
     p.setdefault("d_L", 3.086e19)    # 10 pc in cm (reference default)
+    # sampling the wing-to-core ratio (GRBMixin, model.py:810-819)
+    if "alphaWing" in p:
+        p["thetaWing"] = (jnp.asarray(p["alphaWing"])
+                          * jnp.asarray(p["thetaCore"]))
     theta_wing = jnp.asarray(p.get("thetaWing",
                                    4.0 * jnp.asarray(p["thetaCore"])))
+    p["thetaWing"] = theta_wing
     eps_tot = (10.0 ** jnp.asarray(p["log10_epsilon_e"])
                + 10.0 ** jnp.asarray(p["log10_epsilon_B"]))
     ok = ((theta_wing <= jnp.pi / 2)
