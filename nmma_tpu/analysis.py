@@ -160,6 +160,10 @@ class EMAnalysis:
         with open(os.path.join(cfg.outdir, f"{cfg.label}_result_meta.json"),
                   "w") as f:
             json.dump(meta, f, indent=2, default=str)
+        from .io.results import save_posterior_csv
+        save_posterior_csv(
+            os.path.join(cfg.outdir, f"{cfg.label}_posterior_samples.dat"
+                         ).replace(".dat", ".csv"), post)
         bestfit = self.bestfit_parameters(result)
         bestfit["log_likelihood"] = float(result.logl.max())
         bestfit["log_evidence"] = result.logz

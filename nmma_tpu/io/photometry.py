@@ -150,6 +150,28 @@ def shift_to_trigger_time(data, trigger_time):
     }
 
 
+def write_em_observations(path, data, fmt=None):
+    """Write the nmma-standard photometry dict to .json or .dat.
+
+    Counterpart of the reference writers (nmma/em/io.py:146-191): json
+    stores the per-filter dict directly; dat writes
+    'time filter mag mag_error' rows readable by load_em_observations.
+    """
+    path = str(path)
+    fmt = fmt or ("json" if path.endswith(".json") else "dat")
+    if fmt == "json":
+        payload = {f: {k: np.asarray(v).tolist() for k, v in sub.items()}
+                   for f, sub in data.items()}
+        with open(path, "w") as fh:
+            json.dump(payload, fh)
+        return path
+    with open(path, "w") as fh:
+        for filt, sub in data.items():
+            for t, m, e in zip(sub["time"], sub["mag"], sub["mag_error"]):
+                fh.write(f"{t} {filt} {m} {e}\n")
+    return path
+
+
 def convert_skyportal_lcs(csv_path, out_path=None):
     """SkyPortal photometry csv -> nmma-standard whitespace .dat file.
 
