@@ -35,6 +35,60 @@ def mjd_from_isot(stamp: str) -> float:
     return delta.days + delta.seconds / 86400.0 + delta.microseconds / 86400e6
 
 
+# leap seconds since the GPS epoch (UTC dates when TAI-UTC increased);
+# GPS time = UTC + (leap seconds since 1980-01-06)
+_LEAP_SECOND_MJDS = [
+    44786, 45151, 45516, 46247, 47161, 47892, 48257, 48804, 49169, 49534,
+    50083, 50630, 51179, 53736, 54832, 56109, 57204, 57754,
+]
+_GPS_EPOCH_MJD = 44244.0
+
+
+def gps_to_mjd(gps_time: float) -> float:
+    """GPS seconds -> MJD (UTC), with the leap-second table.
+
+    Counterpart of the reference's astropy Time(format='gps').mjd used by
+    ``read_trigger_time`` (nmma/core/utils.py:49-82).
+    """
+    mjd_approx = _GPS_EPOCH_MJD + gps_time / 86400.0
+    leap = sum(1 for m in _LEAP_SECOND_MJDS if m <= mjd_approx)
+    return _GPS_EPOCH_MJD + (gps_time - leap) / 86400.0
+
+
+def mjd_to_gps(mjd: float) -> float:
+    leap = sum(1 for m in _LEAP_SECOND_MJDS if m <= mjd)
+    return (mjd - _GPS_EPOCH_MJD) * 86400.0 + leap
+
+
+def read_trigger_time(parameters=None, trigger_time=None, gps=None,
+                      time_format="mjd", out_format="mjd"):
+    """Resolve a trigger time in MJD (reference read_trigger_time).
+
+    Priority: parameters['trigger_time'] (mjd) > parameters['geocent_time']
+    (gps) > explicit gps > explicit trigger_time (mjd or ISO string).
+    """
+    value_mjd = None
+    if parameters:
+        if "trigger_time" in parameters:
+            value_mjd = float(parameters["trigger_time"])
+        elif "geocent_time_x" in parameters:
+            value_mjd = gps_to_mjd(float(parameters["geocent_time_x"]))
+        elif "geocent_time" in parameters:
+            value_mjd = gps_to_mjd(float(parameters["geocent_time"]))
+    if value_mjd is None and gps is not None:
+        value_mjd = gps_to_mjd(float(gps))
+    if value_mjd is None and trigger_time is not None:
+        if isinstance(trigger_time, str):
+            value_mjd = mjd_from_isot(trigger_time)
+        elif time_format == "gps":
+            value_mjd = gps_to_mjd(float(trigger_time))
+        else:
+            value_mjd = float(trigger_time)
+    if value_mjd is None:
+        return None
+    return value_mjd if out_format == "mjd" else mjd_to_gps(value_mjd)
+
+
 def _parse_time(token: str, time_format: str = "mjd") -> float:
     try:
         return float(token)
