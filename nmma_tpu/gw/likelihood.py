@@ -24,6 +24,12 @@ from .detectors import Detector, get_detector, gmst_from_gps
 from .waveforms import aligo_design_psd, taylorf2_tidal
 
 
+def _log_i0(x):
+    """ln I0(x), overflow-safe (bilby's ln_i0 analogue)."""
+    from jax.scipy.special import i0e
+    return jnp.log(i0e(x)) + jnp.abs(x)
+
+
 @dataclass
 class InterferometerData:
     """Frequency-domain strain + PSD for one interferometer."""
@@ -81,10 +87,11 @@ class GWTransientLikelihood:
     """Coherent multi-detector matched-filter likelihood."""
 
     def __init__(self, interferometers, waveform=taylorf2_tidal,
-                 trigger_time=0.0):
+                 trigger_time=0.0, phase_marginalization=False):
         self.ifos = list(interferometers)
         self.waveform = waveform
         self.trigger_time = float(trigger_time)
+        self.phase_marginalization = bool(phase_marginalization)
         self._freqs = [jnp.asarray(ifo.frequencies) for ifo in self.ifos]
         # float32 cannot hold 1/PSD (~1e48): whiten with the inverse ASD
         # (~1e24) instead, so strains become O(10) whitened amplitudes
@@ -107,14 +114,19 @@ class GWTransientLikelihood:
         return h * self._inv_asd[ifo_idx]
 
     def log_likelihood_ratio(self, parameters):
-        total = jnp.asarray(0.0)
+        d_inner_h = jnp.asarray(0.0 + 0.0j)
+        h_inner_h = jnp.asarray(0.0)
         for i, df in enumerate(self._df):
             h_w = self._whitened_template(i, parameters)
             d_w = self._white_data[i]
-            d_inner_h = 4.0 * df * jnp.sum((jnp.conj(d_w) * h_w).real)
-            h_inner_h = 4.0 * df * jnp.sum((jnp.conj(h_w) * h_w).real)
-            total = total + d_inner_h - 0.5 * h_inner_h
-        return total
+            d_inner_h = d_inner_h + 4.0 * df * jnp.sum(jnp.conj(d_w) * h_w)
+            h_inner_h = h_inner_h + 4.0 * df * jnp.sum(
+                (jnp.conj(h_w) * h_w).real)
+        if self.phase_marginalization:
+            # analytic phase marginalization for the dominant mode:
+            # ln int dphi/2pi exp(Re[<d,h> e^{2i phi}]) = ln I0(|<d,h>|)
+            return _log_i0(jnp.abs(d_inner_h)) - 0.5 * h_inner_h
+        return d_inner_h.real - 0.5 * h_inner_h
 
     def log_likelihood(self, parameters):
         return self.log_likelihood_ratio(parameters)

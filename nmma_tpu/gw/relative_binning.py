@@ -52,10 +52,11 @@ class RelativeBinningGWLikelihood:
 
     def __init__(self, interferometers, fiducial_parameters,
                  waveform=taylorf2_tidal, trigger_time=0.0, chi=1.0,
-                 eps=0.5):
+                 eps=0.5, phase_marginalization=False):
         self.ifos = list(interferometers)
         self.waveform = waveform
         self.trigger_time = float(trigger_time)
+        self.phase_marginalization = bool(phase_marginalization)
         self.fiducial_parameters = dict(fiducial_parameters)
 
         self._summary = []
@@ -105,7 +106,8 @@ class RelativeBinningGWLikelihood:
             ))
 
     def log_likelihood_ratio(self, parameters):
-        total = jnp.asarray(0.0)
+        d_inner_h = jnp.asarray(0.0 + 0.0j)
+        h_inner_h = jnp.asarray(0.0)
         for ifo, s in zip(self.ifos, self._summary):
             h_edges = project_signal(ifo.detector, self.waveform, s["edges"],
                                      parameters, self.trigger_time)
@@ -113,12 +115,15 @@ class RelativeBinningGWLikelihood:
             r0 = 0.5 * (r_edges[1:] + r_edges[:-1])
             dr = (r_edges[1:] - r_edges[:-1]) / jnp.diff(s["edges"])
 
-            d_inner_h = jnp.sum(s["a0"] * jnp.conj(r0)
-                                + s["a1"] * jnp.conj(dr)).real
-            h_inner_h = jnp.sum(s["b0"] * jnp.abs(r0) ** 2
-                                + 2.0 * s["b1"] * (r0 * jnp.conj(dr)).real)
-            total = total + d_inner_h - 0.5 * h_inner_h
-        return total
+            d_inner_h = d_inner_h + jnp.sum(s["a0"] * jnp.conj(r0)
+                                            + s["a1"] * jnp.conj(dr))
+            h_inner_h = h_inner_h + jnp.sum(
+                s["b0"] * jnp.abs(r0) ** 2
+                + 2.0 * s["b1"] * (r0 * jnp.conj(dr)).real)
+        if self.phase_marginalization:
+            from .likelihood import _log_i0
+            return _log_i0(jnp.abs(d_inner_h)) - 0.5 * h_inner_h
+        return d_inner_h.real - 0.5 * h_inner_h
 
     def log_likelihood(self, parameters):
         return self.log_likelihood_ratio(parameters)
