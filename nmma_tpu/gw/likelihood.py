@@ -24,6 +24,17 @@ from .detectors import Detector, get_detector, gmst_from_gps
 from .waveforms import aligo_design_psd, taylorf2_tidal
 
 
+def _to_host_complex(x):
+    """Device -> host complex transfer via real/imag split.
+
+    The axon TPU backend cannot transfer complex arrays to the host
+    (UNIMPLEMENTED); real transfers work, so split and recombine.
+    """
+    import jax.numpy as _jnp
+    return (np.asarray(_jnp.real(x), dtype=np.float64)
+            + 1j * np.asarray(_jnp.imag(x), dtype=np.float64))
+
+
 def _log_i0(x):
     """ln I0(x), overflow-safe (bilby's ln_i0 analogue)."""
     from jax.scipy.special import i0e
@@ -61,7 +72,7 @@ class InterferometerData:
         if psd is None:
             psd = aligo_design_psd(freqs)
         det = get_detector(name)
-        strain = np.asarray(project_signal(
+        strain = _to_host_complex(project_signal(
             det, waveform, freqs, injection_parameters, trigger_time))
         return cls(name=name, frequencies=freqs, strain=strain, psd=psd,
                    duration=duration)

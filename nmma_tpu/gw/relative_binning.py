@@ -66,9 +66,10 @@ class RelativeBinningGWLikelihood:
             good = np.isfinite(psd) & (psd > 0)
             df = 1.0 / ifo.duration
 
-            h0 = np.asarray(project_signal(
+            from .likelihood import _to_host_complex
+            h0 = _to_host_complex(project_signal(
                 ifo.detector, waveform, freqs, fiducial_parameters,
-                trigger_time), dtype=np.complex128)
+                trigger_time))
             data = np.asarray(ifo.strain, dtype=np.complex128)
 
             edges = setup_bins(freqs[good].min(), freqs[good].max(), chi, eps)
@@ -93,9 +94,9 @@ class RelativeBinningGWLikelihood:
             np.add.at(b1, bin_idx, hh0 * d_f)
 
             # fiducial waveform at the bin edges for the runtime ratio
-            h0_edges = np.asarray(project_signal(
+            h0_edges = _to_host_complex(project_signal(
                 ifo.detector, waveform, edges, fiducial_parameters,
-                trigger_time), dtype=np.complex128)
+                trigger_time))
             safe = np.where(np.abs(h0_edges) > 0, h0_edges, 1.0)
             self._summary.append(dict(
                 edges=jnp.asarray(edges),
