@@ -169,5 +169,43 @@ def create_injection(cli_args=None):
     return params
 
 
+def plot_svdmodel_benchmarks(cli_args=None):
+    """``plot-svdmodel-benchmarks``: chi^2-percentile plot from benchmark json.
+
+    (reference: nmma.em.training:plot_benchmarks_cli)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--benchmark-file", required=True)
+    p.add_argument("--outdir", default="benchmarks")
+    args = apply_config(p, config, argv)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(args.benchmark_file) as fh:
+        scores = json.load(fh)
+    filters = list(scores)
+    fig, ax = plt.subplots(figsize=(1.2 * len(filters) + 2, 4))
+    for i, f in enumerate(filters):
+        p0, p25, p50, p75, p100 = scores[f]
+        ax.plot([i, i], [p0, p100], color="C0", lw=1)
+        ax.plot([i, i], [p25, p75], color="C0", lw=5, alpha=0.6)
+        ax.plot(i, p50, "o", color="C3")
+    ax.set_xticks(range(len(filters)))
+    ax.set_xticklabels(filters, rotation=45, ha="right")
+    ax.set_yscale("log")
+    ax.set_ylabel(r"reduced $\chi^2$ vs training grid")
+    fig.tight_layout()
+    os.makedirs(args.outdir, exist_ok=True)
+    out = os.path.join(
+        args.outdir,
+        os.path.basename(args.benchmark_file).replace(".json", ".png"))
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+    return out
+
+
 if __name__ == "__main__":
     raise SystemExit("invoke via the console-script entry points")
