@@ -72,8 +72,12 @@ class InterferometerData:
         if psd is None:
             psd = aligo_design_psd(freqs)
         det = get_detector(name)
-        strain = _to_host_complex(project_signal(
-            det, waveform, freqs, injection_parameters, trigger_time))
+        # jit the projection: the axon TPU backend lacks eager complex ops
+        import jax as _jax
+        projected = _jax.jit(
+            lambda f: project_signal(det, waveform, f, injection_parameters,
+                                     trigger_time))(freqs)
+        strain = _to_host_complex(projected)
         return cls(name=name, frequencies=freqs, strain=strain, psd=psd,
                    duration=duration)
 

@@ -67,9 +67,10 @@ class RelativeBinningGWLikelihood:
             df = 1.0 / ifo.duration
 
             from .likelihood import _to_host_complex
-            h0 = _to_host_complex(project_signal(
-                ifo.detector, waveform, freqs, fiducial_parameters,
-                trigger_time))
+            _projected = jax.jit(
+                lambda f, det=ifo.detector: project_signal(
+                    det, waveform, f, fiducial_parameters, trigger_time))
+            h0 = _to_host_complex(_projected(freqs))
             data = np.asarray(ifo.strain, dtype=np.complex128)
 
             edges = setup_bins(freqs[good].min(), freqs[good].max(), chi, eps)
@@ -94,9 +95,7 @@ class RelativeBinningGWLikelihood:
             np.add.at(b1, bin_idx, hh0 * d_f)
 
             # fiducial waveform at the bin edges for the runtime ratio
-            h0_edges = _to_host_complex(project_signal(
-                ifo.detector, waveform, edges, fiducial_parameters,
-                trigger_time))
+            h0_edges = _to_host_complex(_projected(jnp.asarray(edges)))
             safe = np.where(np.abs(h0_edges) > 0, h0_edges, 1.0)
             self._summary.append(dict(
                 edges=jnp.asarray(edges),
