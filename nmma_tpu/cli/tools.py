@@ -169,6 +169,104 @@ def create_injection(cli_args=None):
     return params
 
 
+def gwem_resampling(cli_args=None):
+    """``gwem-resampling``: joint GW x EM re-inference over
+    (Mc, q, EOS, alpha, zeta). (reference:
+    nmma.post_processing.resampling:main_resampling)"""
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--GWsamples", required=True)
+    p.add_argument("--EMsamples", required=True)
+    p.add_argument("--EOS-data", "--eos-data", dest="eos_data", required=True)
+    p.add_argument("--outdir", default="outdir")
+    p.add_argument("--label", default="gwem_resampling")
+    p.add_argument("--nlive", type=int, default=512)
+    p.add_argument("--total-ejecta-mass", action="store_true")
+    args = apply_config(p, config, argv)
+
+    from ..eos import load_macro_eos_set
+    from ..io.results import load_posterior, save_posterior_csv
+    from ..post_processing import GWEMResampler
+    gw = load_posterior(args.GWsamples)
+    em = load_posterior(args.EMsamples)
+    if "lambda_tilde" not in gw:
+        from ..conversion import generate_posterior_parameters
+        gw = generate_posterior_parameters(gw)
+    eos_set = load_macro_eos_set(args.eos_data)
+    rs = GWEMResampler(gw, em, eos_set,
+                       total_ejecta_mass=args.total_ejecta_mass)
+    result, post = rs.run(nlive=args.nlive, verbose=True)
+    os.makedirs(args.outdir, exist_ok=True)
+    out = os.path.join(args.outdir, f"{args.label}_posterior_samples.csv")
+    save_posterior_csv(out, post)
+    print(f"log-evidence {result.logz:.3f}; wrote {out}")
+    return result, post
+
+
+def gwem_hubble_estimate(cli_args=None):
+    """``gwem-Hubble-estimate``: combined H0 from per-event distance
+    posteriors at known redshifts. (reference:
+    nmma.post_processing.hubble_estimates:main)"""
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--posterior-files", required=True,
+                   help="comma-separated posterior files (need "
+                        "luminosity_distance column)")
+    p.add_argument("--redshifts", required=True,
+                   help="comma-separated true redshifts, one per file")
+    p.add_argument("--outdir", default="outdir")
+    p.add_argument("--label", default="hubble")
+    args = apply_config(p, config, argv)
+
+    import numpy as np
+
+    from ..io.results import load_posterior
+    from ..post_processing import (combine_hubble_posteriors,
+                                   hubble_posterior_from_distance_samples)
+    files = args.posterior_files.split(",")
+    redshifts = [float(z) for z in args.redshifts.split(",")]
+    events = []
+    for path, z in zip(files, redshifts):
+        post = load_posterior(path)
+        events.append(hubble_posterior_from_distance_samples(
+            post["luminosity_distance"], z))
+    grid, pdf, (med, lo, hi) = combine_hubble_posteriors(events)
+    os.makedirs(args.outdir, exist_ok=True)
+    np.savez(os.path.join(args.outdir, f"{args.label}_H0.npz"),
+             h0_grid=grid, pdf=pdf, median=med, lower68=lo, upper68=hi)
+    print(f"H0 = {med:.2f} +{hi - med:.2f} / -{med - lo:.2f} km/s/Mpc")
+    return med, lo, hi
+
+
+def combine_eos(cli_args=None):
+    """``combine-EOS``: stacked per-event EOS posteriors -> R14 trend.
+    (reference: nmma.post_processing.ns_characteristics:main)"""
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--posterior-files", required=True)
+    p.add_argument("--eos-data", required=True)
+    p.add_argument("--outdir", default="outdir")
+    p.add_argument("--label", default="combined_eos")
+    args = apply_config(p, config, argv)
+
+    import numpy as np
+
+    from ..eos import load_macro_eos_set
+    from ..io.results import load_posterior
+    from ..post_processing import combine_eos_posteriors
+    eos_set = load_macro_eos_set(args.eos_data)
+    samples = [load_posterior(f)["EOS"]
+               for f in args.posterior_files.split(",")]
+    weights, trend = combine_eos_posteriors(samples, eos_set)
+    os.makedirs(args.outdir, exist_ok=True)
+    np.savez(os.path.join(args.outdir, f"{args.label}.npz"),
+             weights=weights, r14_trend=np.asarray(trend))
+    med, lo, hi = trend[-1]
+    print(f"R_1.4 = {med:.2f} +{hi - med:.2f} / -{med - lo:.2f} km "
+          f"({len(samples)} events)")
+    return weights, trend
+
+
 def plot_svdmodel_benchmarks(cli_args=None):
     """``plot-svdmodel-benchmarks``: chi^2-percentile plot from benchmark json.
 
@@ -204,6 +302,34 @@ def plot_svdmodel_benchmarks(cli_args=None):
         os.path.basename(args.benchmark_file).replace(".json", ".png"))
     fig.savefig(out, dpi=120)
     print(f"wrote {out}")
+    return out
+
+
+def convert_skyportal(cli_args=None):
+    """``convert-skyportal-lcs`` (reference: nmma.em.io)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--csv-file", "--filename", dest="csv_file", required=True)
+    p.add_argument("--outfile", default=None)
+    args = p.parse_args(cli_args)
+    from ..io.photometry import convert_skyportal_lcs
+    out = convert_skyportal_lcs(args.csv_file, args.outfile)
+    print(f"wrote {out}")
+    return out
+
+
+def multi_config(cli_args=None):
+    """``multi-config-analysis`` (reference: nmma.em.cluster_handling)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--parallel", action="store_true")
+    p.add_argument("--max-workers", type=int, default=4)
+    p.add_argument("--dry-run", action="store_true")
+    args = p.parse_args(cli_args)
+    from ..cluster import multi_config_analysis
+    out = multi_config_analysis(args.config, parallel=args.parallel,
+                                max_workers=args.max_workers,
+                                dry_run=args.dry_run)
+    print(out)
     return out
 
 
