@@ -118,8 +118,11 @@ class GWTransientLikelihood:
             inv_asd = np.where(np.isfinite(psd) & (psd > 0),
                                1.0 / np.sqrt(psd), 0.0)
             self._inv_asd.append(jnp.asarray(inv_asd))
-            self._white_data.append(jnp.asarray(
-                np.asarray(ifo.strain) * inv_asd))
+            white = np.asarray(ifo.strain) * inv_asd
+            # complex host->device transfer is UNIMPLEMENTED on axon:
+            # ship real/imag and recombine lazily
+            self._white_data.append(
+                (jnp.asarray(white.real), jnp.asarray(white.imag)))
 
     def _whitened_template(self, ifo_idx, parameters):
         ifo = self.ifos[ifo_idx]
@@ -133,7 +136,8 @@ class GWTransientLikelihood:
         h_inner_h = jnp.asarray(0.0)
         for i, df in enumerate(self._df):
             h_w = self._whitened_template(i, parameters)
-            d_w = self._white_data[i]
+            d_re, d_im = self._white_data[i]
+            d_w = d_re + 1j * d_im
             d_inner_h = d_inner_h + 4.0 * df * jnp.sum(jnp.conj(d_w) * h_w)
             h_inner_h = h_inner_h + 4.0 * df * jnp.sum(
                 (jnp.conj(h_w) * h_w).real)

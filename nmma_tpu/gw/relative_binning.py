@@ -97,11 +97,16 @@ class RelativeBinningGWLikelihood:
             # fiducial waveform at the bin edges for the runtime ratio
             h0_edges = _to_host_complex(_projected(jnp.asarray(edges)))
             safe = np.where(np.abs(h0_edges) > 0, h0_edges, 1.0)
+            inv_h0 = 1.0 / safe
+            # complex host->device transfers are UNIMPLEMENTED on the axon
+            # backend: ship real/imag parts and recombine inside the jit
             self._summary.append(dict(
                 edges=jnp.asarray(edges),
-                a0=jnp.asarray(a0), a1=jnp.asarray(a1),
+                a0_re=jnp.asarray(a0.real), a0_im=jnp.asarray(a0.imag),
+                a1_re=jnp.asarray(a1.real), a1_im=jnp.asarray(a1.imag),
                 b0=jnp.asarray(b0), b1=jnp.asarray(b1),
-                inv_h0_edges=jnp.asarray(1.0 / safe),
+                inv_h0_re=jnp.asarray(inv_h0.real),
+                inv_h0_im=jnp.asarray(inv_h0.imag),
                 h0_ok=jnp.asarray(np.abs(h0_edges) > 0),
             ))
 
@@ -111,12 +116,15 @@ class RelativeBinningGWLikelihood:
         for ifo, s in zip(self.ifos, self._summary):
             h_edges = project_signal(ifo.detector, self.waveform, s["edges"],
                                      parameters, self.trigger_time)
-            r_edges = jnp.where(s["h0_ok"], h_edges * s["inv_h0_edges"], 0.0)
+            inv_h0 = s["inv_h0_re"] + 1j * s["inv_h0_im"]
+            r_edges = jnp.where(s["h0_ok"], h_edges * inv_h0, 0.0)
             r0 = 0.5 * (r_edges[1:] + r_edges[:-1])
             dr = (r_edges[1:] - r_edges[:-1]) / jnp.diff(s["edges"])
 
-            d_inner_h = d_inner_h + jnp.sum(s["a0"] * jnp.conj(r0)
-                                            + s["a1"] * jnp.conj(dr))
+            a0 = s["a0_re"] + 1j * s["a0_im"]
+            a1 = s["a1_re"] + 1j * s["a1_im"]
+            d_inner_h = d_inner_h + jnp.sum(a0 * jnp.conj(r0)
+                                            + a1 * jnp.conj(dr))
             h_inner_h = h_inner_h + jnp.sum(
                 s["b0"] * jnp.abs(r0) ** 2
                 + 2.0 * s["b1"] * (r0 * jnp.conj(dr)).real)
