@@ -130,7 +130,9 @@ class NestedSampler:
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         key, sub = jax.random.split(key)
         u = jax.random.uniform(sub, (cfg.nlive, self.ndim))
-        logl = self.logl_fn(u)
+        # jit the initial evaluation: eager complex ops (GW likelihoods)
+        # are unimplemented on the axon TPU backend
+        logl = jax.jit(self.logl_fn)(u)
         return NSState(
             u_live=u, logl_live=logl,
             log_x=jnp.asarray(0.0), logz=jnp.asarray(NEG_INF),
