@@ -98,15 +98,48 @@ def project_signal(detector, waveform, frequencies, parameters,
     return (f_plus * h_plus + f_cross * h_cross) * phase_shift
 
 
+def distance_marginalized_logl(d_inner_h, h_inner_h, ref_distance,
+                               distance_grid, log_prior_weights,
+                               phase_marginalization=False):
+    """Marginalize over luminosity distance on a static grid.
+
+    The waveform scales as h ~ 1/d, so with inner products evaluated at
+    ``ref_distance``: <d,h>(d) = <d,h> ref/d and <h,h>(d) = <h,h> (ref/d)^2.
+    ln L_marg = logsumexp_d [ lnp(d) + Re<d,h> r - <h,h> r^2 / 2 ]
+    (bilby's distance-marginalized likelihood on a lookup grid).
+    """
+    ratio = ref_distance / distance_grid
+    if phase_marginalization:
+        kernel = _log_i0(jnp.abs(d_inner_h) * ratio)
+    else:
+        kernel = d_inner_h.real * ratio
+    logl = kernel - 0.5 * h_inner_h * ratio**2 + log_prior_weights
+    return jax.scipy.special.logsumexp(logl)
+
+
 class GWTransientLikelihood:
     """Coherent multi-detector matched-filter likelihood."""
 
     def __init__(self, interferometers, waveform=taylorf2_tidal,
-                 trigger_time=0.0, phase_marginalization=False):
+                 trigger_time=0.0, phase_marginalization=False,
+                 distance_marginalization=False,
+                 distance_prior=None, distance_bounds=(10.0, 500.0),
+                 n_distance=256):
         self.ifos = list(interferometers)
         self.waveform = waveform
         self.trigger_time = float(trigger_time)
         self.phase_marginalization = bool(phase_marginalization)
+        self.distance_marginalization = bool(distance_marginalization)
+        if self.distance_marginalization:
+            grid = np.linspace(distance_bounds[0], distance_bounds[1],
+                               n_distance)
+            if distance_prior is None:
+                dens = grid**2          # uniform-in-volume default
+            else:
+                dens = np.asarray([distance_prior(d) for d in grid])
+            weights = dens / dens.sum()
+            self._dist_grid = jnp.asarray(grid)
+            self._dist_log_w = jnp.asarray(np.log(weights + 1e-300))
         self._freqs = [jnp.asarray(ifo.frequencies) for ifo in self.ifos]
         # float32 cannot hold 1/PSD (~1e48): whiten with the inverse ASD
         # (~1e24) instead, so strains become O(10) whitened amplitudes
@@ -141,6 +174,12 @@ class GWTransientLikelihood:
             d_inner_h = d_inner_h + 4.0 * df * jnp.sum(jnp.conj(d_w) * h_w)
             h_inner_h = h_inner_h + 4.0 * df * jnp.sum(
                 (jnp.conj(h_w) * h_w).real)
+        if self.distance_marginalization:
+            return distance_marginalized_logl(
+                d_inner_h, h_inner_h,
+                jnp.asarray(parameters["luminosity_distance"]),
+                self._dist_grid, self._dist_log_w,
+                self.phase_marginalization)
         if self.phase_marginalization:
             # analytic phase marginalization for the dominant mode:
             # ln int dphi/2pi exp(Re[<d,h> e^{2i phi}]) = ln I0(|<d,h>|)

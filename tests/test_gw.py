@@ -63,3 +63,16 @@ def test_antenna_patterns_normalized():
     # |F|^2 <= 1 everywhere; sky average of Fp^2+Fc^2 = 2/5 for an ifo
     assert vals.max() <= 1.0 + 1e-6
     assert 0.25 < vals.mean() < 0.55
+
+
+def test_distance_marginalization(ifos):
+    dm = GWTransientLikelihood(ifos, trigger_time=TRIGGER,
+                               distance_marginalization=True,
+                               distance_bounds=(10.0, 200.0))
+    l40 = float(dm.log_likelihood_ratio(INJ))
+    l80 = float(dm.log_likelihood_ratio(
+        {**INJ, "luminosity_distance": 80.0}))
+    # the sampled distance cancels exactly (only sets the template scale)
+    assert abs(l40 - l80) < 1e-2
+    full = GWTransientLikelihood(ifos, trigger_time=TRIGGER)
+    assert l40 < float(full.log_likelihood_ratio(INJ))
