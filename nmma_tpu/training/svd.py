@@ -122,12 +122,37 @@ def _interp_grid(entries, filters, tt):
     return out
 
 
-def train_svd_model(entries, parameter_names, filters,
+def _interp_spectra(entries, tt):
+    """[N, L, T] log10 fluxes on the surrogate grid.
+
+    Spectroscopy branch of the reference's interpolate_data
+    (nmma/em/training.py:186-192): interpolate log10(f_nu) over time per
+    wavelength bin; wavelength bins then play the role of filters.
+    """
+    n = len(entries)
+    lam = np.asarray(entries[0]["lambdas"])
+    t_n = len(tt)
+    out = np.zeros((n, len(lam), t_n))
+    for i, e in enumerate(entries):
+        fnu = np.asarray(e["fnu"])          # [T_i, L]
+        with np.errstate(divide="ignore"):
+            log_f = np.log10(np.maximum(fnu, 1e-300))
+        for j in range(len(lam)):
+            out[i, j] = np.asarray(masked_interp_linear(
+                tt, e["t"], log_f[:, j], fill_value=np.nan))
+    return out, lam
+
+
+def train_svd_model(entries, parameter_names, filters=None,
                     config: SVDTrainingConfig = SVDTrainingConfig(),
-                    verbose=True) -> SVDModelData:
+                    verbose=True, data_type="photometry") -> SVDModelData:
     cfg = config
     tt = np.linspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
-    data = _interp_grid(entries, filters, tt)           # [N, F, T]
+    if data_type == "spectroscopy":
+        data, lam = _interp_spectra(entries, tt)        # [N, L, T] log10 f
+        filters = [f"lambda_{l:.0f}" for l in lam]
+    else:
+        data = _interp_grid(entries, filters, tt)       # [N, F, T]
     params = np.asarray([[e["params"][p] for p in parameter_names]
                          for e in entries])             # [N, P]
 
