@@ -75,6 +75,49 @@ _register("AnBa2022_log", ["log10_mtot", "log10_mni", "vej", "log10_mrp",
 _register("AnBa2022_sparse", ["mrp", "xmix"], [3, 4])
 
 
+def _parse_lanl(filename):
+    """LANL grid filename parser (reference get_knprops_from_LANLfilename,
+    nmma/em/utils.py:1039-1140): two-component morphology files like
+    'Run_TP_dyn_all_lanth_wind2_all_md0.1_vd0.3_mw0.001_vw0.05_mags_*.dat'.
+    """
+    stem = os.path.basename(filename)
+    out = {}
+    for info in stem.split("_"):
+        if info.startswith("md"):
+            v = float(info[2:])
+            if "." not in info:
+                v /= 100 if "1" in info else 1000
+            out["log10_mej_dyn"] = np.log10(v)
+        elif info.startswith("vd"):
+            v = float(info[2:])
+            if "." not in info:
+                v /= 100 if "5" in info else 10
+            out["vej_dyn"] = v
+        elif info.startswith("mw"):
+            v = float(info[2:])
+            if "." not in info:
+                v /= 100 if "1" in info else 1000
+            out["log10_mej_wind"] = np.log10(v)
+        elif info.startswith("vw"):
+            v = float(info[2:])
+            if "." not in info:
+                v /= 100 if "5" in info else 10
+            out["vej_wind"] = v
+        elif info.startswith("theta") or info.startswith("angle"):
+            try:
+                out["KNtheta"] = float(info.lstrip("thetaangle"))
+            except ValueError:
+                pass
+    out.setdefault("KNtheta", 0.0)
+    return out
+
+
+for _lanl_name in ("LANL2022", "LANLTP1", "LANLTP2", "LANLTS1", "LANLTS2"):
+    GRID_PARSERS[_lanl_name] = (
+        _parse_lanl,
+        ["log10_mej_dyn", "vej_dyn", "log10_mej_wind", "vej_wind", "KNtheta"])
+
+
 def read_bulla_grid(files, model="Bu2019lm_sparse", filters=None):
     """Read bulla-format grid files: header '# t[days] f1 f2 ...'.
 
