@@ -376,9 +376,19 @@ def hona2020_mags(params, t_days, nu_host):
 # Blackbody family + synchrotron (reference :773-812)
 # ---------------------------------------------------------------------------
 def _inv_temp_photosphere_from_params(params):
-    """Constant-T blackbody: R from L and T (reference :786-793)."""
+    """Constant-T blackbody: R from L and T (reference :786-793).
+
+    Luminosities ~1e41 erg/s overflow f32, so the radius is assembled in
+    log space; sample 'log10_bb_luminosity' (preferred on TPU) or a
+    'bb_luminosity' value that fits in float32.
+    """
+    import math
     inv_temp = 1.0 / params["temperature"]
-    r_photo = jnp.sqrt(params["bb_luminosity"] / (4.0 * jnp.pi * sigSB)) * \
+    if "log10_bb_luminosity" in params:
+        log_l = jnp.asarray(params["log10_bb_luminosity"]) * math.log(10.0)
+    else:
+        log_l = jnp.log(jnp.asarray(params["bb_luminosity"]))
+    r_photo = jnp.exp(0.5 * (log_l - math.log(4.0 * math.pi * sigSB))) * \
         inv_temp * inv_temp
     return inv_temp, r_photo
 
