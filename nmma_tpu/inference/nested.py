@@ -49,6 +49,7 @@ class NestedSamplerConfig:
     chunk_size: int = 20         # iterations fused into one jitted scan
     seed: int = 42
     check_point_delta_t: float = 1800.0   # seconds (reference parsing.py:125)
+    profile_dir: str = None      # capture a jax profiler trace of one chunk
 
 
 class NSState(NamedTuple):
@@ -280,8 +281,18 @@ class NestedSampler:
         if state is None:
             state = self.init_state(key)
 
+        t_run0 = time.time()
+        ncall_0 = int(state.n_call)
+        profiled = False
         while int(state.it) * cfg.n_delete < cfg.max_iter * cfg.n_delete:
-            state, chunk = self._chunk_fn(state)
+            if cfg.profile_dir and not profiled and int(state.it) > 0:
+                # profile the second chunk (first carries compile)
+                with jax.profiler.trace(cfg.profile_dir):
+                    state, chunk = self._chunk_fn(state)
+                    jax.block_until_ready(state.logz)
+                profiled = True
+            else:
+                state, chunk = self._chunk_fn(state)
             dead_u.append(np.asarray(chunk.u).reshape(-1, self.ndim))
             dead_logl.append(np.asarray(chunk.logl).ravel())
             dead_logw.append(np.asarray(chunk.logw).ravel())
@@ -292,9 +303,12 @@ class NestedSampler:
             dlogz = float(np.logaddexp(logz, logz_remain) - logz)
             if verbose:
                 eff = float(state.n_accept) / max(float(state.n_propose), 1.0)
+                rate = (int(state.n_call) - ncall_0) / max(
+                    time.time() - t_run0, 1e-9)
                 print(f"it={int(state.it):6d} ncall={int(state.n_call):9d} "
                       f"logz={logz:10.3f} dlogz={dlogz:8.4f} "
-                      f"eff={eff:5.3f} scale={float(state.scale):7.4f}",
+                      f"eff={eff:5.3f} scale={float(state.scale):7.4f} "
+                      f"evals/s={rate:8.0f}",
                       flush=True)
             if checkpoint_path is not None and \
                     (interrupted["flag"] or
