@@ -33,8 +33,8 @@ from jax.scipy.special import log_ndtr
 
 from ..filters import resolve_filter
 from ..models.base import DetectorLightCurveModel
-from ..ops.interp import (masked_interp_sorted_fill,
-                          masked_interp_sorted_fill_pos)
+from ..ops.interp import (masked_interp_contiguous_fill_pos,
+                          masked_interp_sorted_fill)
 from .systematics import SystematicsModel
 
 _NEG_INF = -1e30  # finite stand-in for nan_to_num(-inf); safe in f32
@@ -194,7 +194,7 @@ class EMLikelihood:
             for k in range(rows.shape[0]):
                 # model time grids are monotone -> sort-free masked interp
                 if pos is not None:
-                    interp = masked_interp_sorted_fill_pos(
+                    interp = masked_interp_contiguous_fill_pos(
                         t_q, obs_times_model, model_mags[rows[k]], jnp.inf,
                         pos)
                 else:

@@ -77,6 +77,39 @@ def masked_interp_fill(xq, x, y, fill, valid=None):
                          fill_value=fill)
 
 
+def masked_interp_contiguous_fill_pos(xq, x, y, fill, pos):
+    """Fast masked interp assuming *contiguous* validity on sorted x.
+
+    Model light curves are finite on one contiguous time block (inf heads
+    before rise / inf tails beyond the grid), so the valid range is just
+    [argmax(valid), n-1-argmax(flip(valid))] — two reductions instead of
+    the cummax neighbour scans (which dominate the likelihood cost on
+    TPU). Queries landing on a rare *interior* invalid sample fall back
+    to ``fill`` (the general path bridges them; model kernels do not
+    produce such gaps).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    valid = jnp.isfinite(y)
+    n_valid = jnp.sum(valid)
+    first = jnp.argmax(valid)
+    last = n - 1 - jnp.argmax(jnp.flip(valid))
+
+    pos = jnp.clip(pos, 0, n - 1)
+    l_idx = jnp.clip(pos, first, last)
+    r_idx = jnp.clip(pos + 1, first, last)
+    x_l, y_l = x[l_idx], y[l_idx]
+    x_r, y_r = x[r_idx], y[r_idx]
+    span = jnp.where(x_r > x_l, x_r - x_l, 1.0)
+    w = jnp.clip((xq - x_l) / span, 0.0, 1.0)
+    est = y_l + w * (y_r - y_l)
+    ok = jnp.isfinite(y_l) & jnp.isfinite(y_r)
+    est = jnp.where(ok, est, fill)
+    est = jnp.where((xq < x[first]) | (xq > x[last]), fill, est)
+    return jnp.where(n_valid >= 2, est, fill)
+
+
 def masked_interp_sorted_fill_pos(xq, x, y, fill, pos):
     """masked_interp_sorted_fill with externally supplied cell indices.
 
