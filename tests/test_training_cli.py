@@ -1,0 +1,57 @@
+"""create-svdmodel / svdmodel-benchmark / plot CLI + registry round trip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_training_cli_pipeline(tmp_path):
+    from nmma_tpu.cli.tools import (create_svdmodel, plot_svdmodel_benchmarks,
+                                    svdmodel_benchmark)
+    svd_dir = tmp_path / "svdmodels"
+    out = create_svdmodel([
+        "--model", "Bu2019lm_sparse",
+        "--data-path", "/root/reference/nmma/tests/data/bulla",
+        "--svd-path", str(svd_dir),
+        "--svd-ncoeff", "8", "--hidden", "48", "--n-epochs", "800",
+        "--tmin", "0.2", "--n-tsteps", "50",
+        "--filters", "ztfg,ztfr"])
+    assert os.path.exists(out)
+
+    scores = svdmodel_benchmark([
+        "--model", "Bu2019lm_sparse",
+        "--data-path", "/root/reference/nmma/tests/data/bulla",
+        "--svd-path", str(svd_dir),
+        "--outdir", str(tmp_path / "bench")])
+    assert "ztfg" in scores and len(scores["ztfg"]) == 5
+
+    png = plot_svdmodel_benchmarks([
+        "--benchmark-file",
+        str(tmp_path / "bench" / "Bu2019lm_sparse_benchmark.json"),
+        "--outdir", str(tmp_path / "bench")])
+    assert os.path.getsize(png) > 5000
+
+
+def test_registry_load_registered_model(tmp_path, monkeypatch):
+    import glob
+
+    from nmma_tpu import registry
+    from nmma_tpu.training import (SVDTrainingConfig, read_bulla_grid,
+                                   train_svd_model)
+    monkeypatch.setenv(registry.MODELS_ENV, str(tmp_path))
+    files = glob.glob("/root/reference/nmma/tests/data/bulla/*.dat")
+    entries, pnames, filters = read_bulla_grid(files, model="Bu2019lm_sparse")
+    svd = train_svd_model(entries, pnames, ["ztfg"],
+                          SVDTrainingConfig(n_coeff=6, hidden=32,
+                                            n_epochs=300, tmin=0.2,
+                                            n_tsteps=40), verbose=False)
+    svd.save(tmp_path / "MyModel.npz")
+    source = registry.load_registered_model("MyModel")
+    assert source.name == "MyModel"
+    from nmma_tpu.models import DetectorLightCurveModel
+    m = DetectorLightCurveModel("MyModel", ["ztfg"])
+    _, mags = m(dict(log10_mej_dyn=-2.0, log10_mej_wind=-1.3,
+                     luminosity_distance=40.0))
+    assert np.isfinite(np.asarray(mags)).any()
