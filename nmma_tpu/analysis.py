@@ -44,6 +44,9 @@ class EMAnalysisConfig:
     remove_nondetections: bool = False
     outdir: str = "outdir"
     label: str = "injection"
+    # static kernel options forwarded to the source model (only the keys
+    # the kernel's signature accepts), e.g. grb_resolution / jet_type
+    model_kwargs: dict = field(default_factory=dict)
     sampler: NestedSamplerConfig = field(default_factory=NestedSamplerConfig)
 
 
@@ -68,7 +71,8 @@ class EMAnalysis:
 
         sample_times = np.geomspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
         self.model = DetectorLightCurveModel(cfg.model, self.filters,
-                                             sample_times=sample_times)
+                                             sample_times=sample_times,
+                                             model_kwargs=cfg.model_kwargs)
 
         self.priors: PriorDict = priors if priors is not None else \
             load_prior_file(cfg.prior_file)

@@ -62,6 +62,8 @@ def _single_run(args):
         detection_limit=args.detection_limit,
         remove_nondetections=args.remove_nondetections,
         outdir=args.outdir, label=args.label,
+        model_kwargs={"grb_resolution": args.grb_resolution,
+                      "jet_type": args.jet_type},
         sampler=sampler_config_from_args(args),
     )
     analysis = EMAnalysis(cfg, data=data)

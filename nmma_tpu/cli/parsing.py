@@ -83,6 +83,12 @@ def base_analysis_parser(description=""):
     p.add_argument("--kilonova-error", "--em-error-budget",
                    dest="em_error_budget", type=float, default=None)
     p.add_argument("--systematics-file", type=str, default=None)
+    p.add_argument("--grb-resolution", type=float, default=12.0,
+                   help="upper bound on thetaWing/thetaCore for the "
+                        "afterglow kernel (reference em_parsing.py:430)")
+    p.add_argument("--jet-type", type=int, default=0, choices=[-1, 0, 4],
+                   help="afterglow jet structure: 0 Gaussian, -1 tophat, "
+                        "4 power-law (reference em_parsing.py:424)")
     p.add_argument("--detection-limit", type=float, default=np.inf)
     p.add_argument("--remove-nondetections", action="store_true")
     p.add_argument("--injection", type=str, default=None,

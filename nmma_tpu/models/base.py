@@ -19,6 +19,7 @@ struct-of-arrays parameter dict to evaluate a whole live-point batch.
 
 from __future__ import annotations
 
+import inspect
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
@@ -131,6 +132,17 @@ class SourceModel:
         return np.geomspace(0.01, 14.0, 150)
 
 
+def _filter_kwargs(fn, kwargs: dict) -> dict:
+    """Keep only the kwargs ``fn``'s signature accepts (or all on **kw)."""
+    if not kwargs:
+        return {}
+    sig = inspect.signature(fn)
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD
+           for p in sig.parameters.values()):
+        return dict(kwargs)
+    return {k: v for k, v in kwargs.items() if k in sig.parameters}
+
+
 _SOURCE_MODELS: dict[str, SourceModel] = {}
 
 
@@ -159,11 +171,17 @@ class DetectorLightCurveModel:
     """
 
     def __init__(self, model, filters: Sequence[str], sample_times=None,
-                 cosmology=None, extinction_law: str = "P92_SMC_host"):
+                 cosmology=None, extinction_law: str = "P92_SMC_host",
+                 model_kwargs: dict | None = None):
         if isinstance(model, str):
             model = get_source_model(model)
         self.source: SourceModel = model
         self.filters = list(filters)
+        # static kernel options (e.g. grb_resolution / jet_type for the
+        # afterglow kernel; reference GRBLightCurveModel resolution,
+        # nmma/em/model.py:804-843). Only options the kernel's signature
+        # accepts are forwarded so one config can drive mixed model sets.
+        self.model_kwargs = _filter_kwargs(model.mags_fn, model_kwargs or {})
         self.nu_0s = jnp.asarray(filters_to_frequencies(self.filters))
         self.sample_times = jnp.asarray(
             sample_times if sample_times is not None else self.source.time_grid()
@@ -198,9 +216,11 @@ class DetectorLightCurveModel:
         p["distance_modulus"] = distance_modulus(d_lum)
         nu_host = self.nu_0s * (1.0 + z)
         if self.source.needs_filters:
-            mags = self.source.mags_fn(p, t, nu_host, filters=self.filters)
+            mags = self.source.mags_fn(p, t, nu_host, filters=self.filters,
+                                       **self.model_kwargs)
         else:
-            mags = self.source.mags_fn(p, t, nu_host)   # [F, T] abs mags
+            mags = self.source.mags_fn(p, t, nu_host,
+                                       **self.model_kwargs)  # [F, T] abs mags
 
         if self.source.filter_names is not None:
             # align the kernel's fixed filter rows with the requested set;

@@ -41,13 +41,16 @@ def make_combined_source_model(name, sub_models, register=True):
             if key not in param_names:
                 param_names.append(key)
 
-    def mags_fn(params, t_days, nu_host, filters=None):
+    def mags_fn(params, t_days, nu_host, filters=None, **model_kwargs):
+        from .base import _filter_kwargs
         rows = []
         for sub in sub_models:
+            kw = _filter_kwargs(sub.mags_fn, model_kwargs)
             if sub.needs_filters:
-                m = sub.mags_fn(params, t_days, nu_host, filters=filters)
+                m = sub.mags_fn(params, t_days, nu_host, filters=filters,
+                                **kw)
             else:
-                m = sub.mags_fn(params, t_days, nu_host)
+                m = sub.mags_fn(params, t_days, nu_host, **kw)
             if sub.filter_names is not None and filters is not None:
                 src = list(sub.filter_names)
                 aligned = [m[src.index(f)] if f in src

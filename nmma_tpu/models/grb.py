@@ -299,7 +299,8 @@ def _synchrotron_shape(nu, nu_m, nu_c, p):
     return jnp.where(nu_m <= nu_c, slow, fast)
 
 
-def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN):
+def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN,
+                  grb_resolution=12.0):
     """TrPi2018 absolute-magnitude rows [F, T].
 
     Matches the reference's flux path (``afterglowpy_lc``,
@@ -325,9 +326,16 @@ def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN):
     p["thetaWing"] = theta_wing
     eps_tot = (10.0 ** jnp.asarray(p["log10_epsilon_e"])
                + 10.0 ** jnp.asarray(p["log10_epsilon_B"]))
+    # when alphaWing is sampled directly, the wing/core ratio is already
+    # bounded by its prior (reference sets resolution = alphaWing then,
+    # model.py:813-816); otherwise apply the static --grb-resolution bound
+    if "alphaWing" in p:
+        res_ok = True
+    else:
+        res_ok = (theta_wing / jnp.asarray(p["thetaCore"])) <= grb_resolution
     ok = ((theta_wing <= jnp.pi / 2)
           & (jnp.asarray(p["thetaCore"]) > jnp.pi / 1800.0)
-          & (eps_tot <= 1.0))
+          & (eps_tot <= 1.0) & res_ok)
 
     # afterglowpy receives observer-frame frequencies (nu_0s); undo the
     # host-frame factor the assembly applied

@@ -129,3 +129,25 @@ def test_grb211211a_likelihood():
         xi_N=1.0, luminosity_distance=350.0, timeshift=0.0)
     logl = float(jax.jit(lk.log_likelihood)(params))
     assert np.isfinite(logl) and logl > -1e29
+
+
+def test_grb_resolution_bound():
+    """--grb-resolution bounds thetaWing/thetaCore (reference model.py:840)."""
+    from nmma_tpu.models import DetectorLightCurveModel
+    p = dict(inclination_EM=0.1, log10_E0=52.0, thetaCore=0.08,
+             thetaWing=0.32, log10_n0=-2.0, p=2.3, log10_epsilon_e=-1.0,
+             log10_epsilon_B=-2.0, ksiN=1.0, luminosity_distance=40.0,
+             b=0.0, L0=0.0, q=0.0, ts=1.0)
+    tight = DetectorLightCurveModel("TrPi2018", ["ztfr"],
+                                    model_kwargs={"grb_resolution": 3.0})
+    _, mags = tight(p)   # ratio 4 > 3 -> rejected
+    assert np.all(~np.isfinite(np.asarray(mags)))
+    loose = DetectorLightCurveModel("TrPi2018", ["ztfr"],
+                                    model_kwargs={"grb_resolution": 5.0})
+    _, mags = loose(p)   # ratio 4 <= 5 -> allowed
+    assert np.any(np.isfinite(np.asarray(mags)))
+    # sampling alphaWing bypasses the static bound (model.py:813-816)
+    pa = dict(p, alphaWing=4.0)
+    pa.pop("thetaWing")
+    _, mags = tight(pa)
+    assert np.any(np.isfinite(np.asarray(mags)))
