@@ -84,3 +84,49 @@ def test_mass_radius_constraint(rng):
         lambda row: jnp.interp(1.5, grid, row))(eos_set.radii))
     best, worst = np.argmin(np.abs(r15 - 12.5)), np.argmax(np.abs(r15 - 12.5))
     assert vals[best] > vals[worst]
+
+
+def test_cse_extension_vs_scipy_oracle():
+    """CSE RK4 log-space integration matches an f64 DOP853 oracle."""
+    import jax.numpy as jnp
+    from scipy.integrate import solve_ivp
+    from scipy.interpolate import interp1d
+
+    from nmma_tpu.eos.cse import (connection_state, cse_extend,
+                                  draw_cs2_nodes)
+    arr = np.loadtxt(MICRO)
+    n, e, p = arr[:, 0], arr[:, 1], arr[:, 2]
+    p_c, e_c, cs2_c = connection_state(n, p, e, 0.16)
+    assert 0.0 < cs2_c < 1.0
+    nodes = draw_cs2_nodes(7, 0.16, 2.0, cs2_c, n_draws=1)[0]
+
+    cs2_f = interp1d(nodes[:, 0], nodes[:, 1], fill_value="extrapolate")
+
+    def dydt(t, y):
+        logp, loge = y
+        pp, ee = np.exp(logp), np.exp(loge)
+        return [float(cs2_f(np.exp(t))) * (ee / pp + 1.0), 1.0 + pp / ee]
+
+    sol = solve_ivp(dydt, (np.log(0.16), np.log(2.0)),
+                    [np.log(p_c), np.log(e_c)], method="DOP853",
+                    dense_output=True, rtol=1e-9, atol=0.0)
+    n_hi, p_hi, e_hi = cse_extend(jnp.asarray(nodes), p_c, e_c, 0.16, 2.0,
+                                  512)
+    ref = sol.sol(np.log(np.asarray(n_hi)))
+    assert np.max(np.abs(np.asarray(p_hi) / np.exp(ref[0]) - 1.0)) < 5e-4
+    assert np.max(np.abs(np.asarray(e_hi) / np.exp(ref[1]) - 1.0)) < 5e-4
+
+
+def test_cse_family_tov():
+    """A CSE-extended family yields physical NS branches under TOV."""
+    from nmma_tpu.eos import construct_family, cse_eos_family
+    arr = np.loadtxt(MICRO)
+    low = {"n": arr[:, 0], "p": arr[:, 2], "e": arr[:, 1]}
+    tables = cse_eos_family(low, seed=3, n_draws=3)
+    for t in tables:
+        r, m, lam, _ = construct_family(t)
+        m, r = np.asarray(m), np.asarray(r)
+        ns = (r < 20.0) & (m > 0.5)
+        assert ns.any()
+        assert 1.2 < m[ns].max() < 3.0
+        assert 8.0 < r[ns][np.argmax(m[ns])] < 16.0
