@@ -66,7 +66,28 @@ def _single_run(args):
                       "jet_type": args.jet_type},
         sampler=sampler_config_from_args(args),
     )
-    analysis = EMAnalysis(cfg, data=data)
+    priors = None
+    if args.fits_file:
+        # skymap-driven inclination prior (reference prior.py:80-171)
+        from ..priors import load_prior_file
+        from ..priors.astro import inclination_prior_from_fits
+        from ..priors.core import PriorDict
+        priors = dict(load_prior_file(args.prior).priors)
+        dL = args.dL
+        if dL is None:
+            lum = priors.get("luminosity_distance")
+            dL = getattr(lum, "peak", None)
+            if dL is None:
+                raise ValueError(
+                    "--fits-file needs --dL or a delta-function "
+                    "luminosity_distance in the prior file")
+        priors["inclination_EM"] = inclination_prior_from_fits(
+            args.fits_file, dL=float(dL), ra=args.ra, dec=args.dec,
+            cosiota_node_num=args.cosiota_node_num)
+        print(f"inclination_EM prior built from {args.fits_file} "
+              f"at dL={float(dL):.1f} Mpc")
+        priors = PriorDict(priors)
+    analysis = EMAnalysis(cfg, data=data, priors=priors)
     if args.skip_sampling:
         print("--skip-sampling: likelihood assembled; exiting before PE.")
         return analysis

@@ -83,6 +83,16 @@ def base_analysis_parser(description=""):
     p.add_argument("--kilonova-error", "--em-error-budget",
                    dest="em_error_budget", type=float, default=None)
     p.add_argument("--systematics-file", type=str, default=None)
+    p.add_argument("--fits-file", type=str, default=None,
+                   help="GW skymap FITS to build the inclination_EM prior "
+                        "from (reference em/prior.py:80-171)")
+    p.add_argument("--cosiota-node-num", type=int, default=10)
+    p.add_argument("--ra", type=float, default=None,
+                   help="sky position RA [deg] for the skymap pixel lookup")
+    p.add_argument("--dec", type=float, default=None)
+    p.add_argument("--dL", type=float, default=None,
+                   help="fixed luminosity distance [Mpc] for the skymap "
+                        "inclination prior (default: prior-file peak)")
     p.add_argument("--grb-resolution", type=float, default=12.0,
                    help="upper bound on thetaWing/thetaCore for the "
                         "afterglow kernel (reference em_parsing.py:430)")

@@ -86,3 +86,63 @@ def create_prior_from_args(prior_file, systematics=None, Ebv_max=0.5724,
     if systematics is not None:
         priors.update(systematics.create_priors())
     return PriorDict(priors)
+
+
+def inclination_prior_from_fits(fits_file, dL, ra=None, dec=None,
+                                cosiota_node_num=10, n_grid=1000):
+    """Interped inclination_EM prior from a BAYESTAR-style skymap FITS.
+
+    Counterpart of ``inclination_prior_from_fits``
+    (nmma/em/prior.py:80-171), healpy/ligo.skymap-free: the multi-order
+    skymap's per-pixel cos-iota-conditional distance layers
+    (PROBDENSITY/DISTMU/DISTSIGMA/DISTNORM *_SAMPLES columns) are read
+    with the pure-numpy FITS reader, the pixel is located with the
+    native nested-HEALPix index, and
+
+        p(u) = probdensity(u) * distnorm(u) * dL^2 * N(dL; mu(u), sigma(u))
+        p(iota) = p(cos iota) |sin iota|,  folded onto [0, pi/2]
+
+    becomes an ``Interped`` prior. ra/dec in degrees; None -> the
+    maximum-probability pixel.
+    """
+    from scipy.interpolate import PchipInterpolator
+    from scipy.stats import norm
+
+    from ..io.fits import read_bintable, skymap_pixel_index, uniq2nest
+    from .core import Interped
+
+    cols, _ = read_bintable(fits_file)
+    if "PROBDENSITY" in cols:                # scalar column (prior.py:86)
+        map_idx = int(np.argmax(cols["PROBDENSITY"]))
+    else:
+        map_idx = int(np.argmax(
+            np.atleast_2d(cols["PROBDENSITY_SAMPLES"]).mean(axis=1)))
+
+    if ra is not None and dec is not None and "UNIQ" in cols:
+        orders, nests = uniq2nest(cols["UNIQ"])
+        order = int(orders[map_idx])
+        target = skymap_pixel_index(ra, dec, 2 ** order)
+        nest_idxs = np.where(orders == order, nests, 0)
+        row = int(np.argmin(np.abs(nest_idxs - target)))
+    else:
+        row = map_idx
+
+    nodes = np.cos(np.linspace(0.0, np.pi, int(cosiota_node_num)))[::-1]
+    interp = {}
+    for name in ("PROBDENSITY", "DISTMU", "DISTSIGMA", "DISTNORM"):
+        samples = np.atleast_2d(cols[f"{name}_SAMPLES"])[row][::-1]
+        interp[name] = PchipInterpolator(nodes, samples)
+
+    u = np.linspace(-1.0, 1.0, n_grid)
+    prob_u = (interp["PROBDENSITY"](u) * interp["DISTNORM"](u) * dL**2
+              * norm(interp["DISTMU"](u), interp["DISTSIGMA"](u)).pdf(dL))
+    iota = np.arccos(u)                       # descending pi -> 0
+    prob_iota = prob_u * np.abs(np.sin(iota))
+
+    # fold [pi/2, pi] onto [0, pi/2] (EM can't tell iota from pi - iota)
+    lt = iota < np.pi / 2
+    iota_em = iota[lt]
+    prob_em = prob_iota[lt] + prob_iota[~lt][::-1]
+    order_ix = np.argsort(iota_em)
+    return Interped(iota_em[order_ix], prob_em[order_ix], minimum=0.0,
+                    maximum=np.pi / 2, name="inclination_EM")

@@ -1,0 +1,89 @@
+"""Pure-numpy FITS bintable I/O + HEALPix + skymap inclination prior."""
+
+import numpy as np
+import pytest
+
+
+def test_fits_bintable_roundtrip(tmp_path):
+    from nmma_tpu.io.fits import read_bintable, write_bintable
+    path = str(tmp_path / "t.fits")
+    cols = {
+        "UNIQ": np.array([1028, 1033, 1100], dtype=np.int64),
+        "PROBDENSITY": np.array([0.1, 5.0, 0.2]),
+        "DISTMU_SAMPLES": np.arange(30, dtype=np.float64).reshape(3, 10),
+    }
+    write_bintable(path, cols, extra_header={"ORDERING": "NUNIQ"})
+    out, header = read_bintable(path)
+    assert header["ORDERING"] == "NUNIQ"
+    for k in cols:
+        assert np.array_equal(out[k], cols[k]), k
+
+
+def test_healpix_nested_hierarchy():
+    from nmma_tpu.io.fits import ang2pix_nest, uniq2nest
+    rng = np.random.default_rng(1)
+    theta = np.arccos(rng.uniform(-1, 1, 50000))
+    phi = rng.uniform(0, 2 * np.pi, 50000)
+    for o in range(0, 6):
+        lo = ang2pix_nest(2 ** o, theta, phi)
+        hi = ang2pix_nest(2 ** (o + 1), theta, phi)
+        assert np.all((hi >> 2) == lo)          # nested parent/child
+        assert lo.min() >= 0 and lo.max() < 12 * 4 ** o
+    # equal-area: occupancy consistent with Poisson
+    counts = np.bincount(ang2pix_nest(4, theta, phi), minlength=192)
+    assert counts.std() / counts.mean() < 2.5 / np.sqrt(50000 / 192)
+    order, nest = uniq2nest(np.array([4 + 7, 16 + 40, 4 ** 8 + 12345]))
+    assert list(order) == [0, 1, 7] and list(nest) == [7, 40, 12345]
+
+
+def _write_synthetic_skymap(path, iota_peak, dl_true, nside=16):
+    """MOC-style skymap whose maP pixel prefers cos(iota_peak) at dl_true."""
+    from nmma_tpu.io.fits import write_bintable
+    n_pix, n_nodes = 6, 10
+    rng = np.random.default_rng(0)
+    uniq = (4 ** (int(np.log2(nside)) + 1)
+            + np.arange(100, 100 + n_pix)).astype(np.int64)
+    nodes = np.cos(np.linspace(0, np.pi, n_nodes))   # descending u
+    prob = rng.uniform(0.01, 0.1, n_pix)
+    prob[2] = 10.0                                   # maP pixel
+    probd = np.full((n_pix, n_nodes), 1.0)
+    # distance layer: mean closest to dl_true at u = cos(iota_peak)
+    mu = 100.0 + 200.0 * np.abs(nodes - np.cos(iota_peak))[None, :] \
+        * np.ones((n_pix, 1))
+    mu[2] = dl_true + 200.0 * np.abs(nodes - np.cos(iota_peak))
+    sig = np.full((n_pix, n_nodes), 15.0)
+    dn = np.full((n_pix, n_nodes), 1.0)
+    write_bintable(path, {
+        "UNIQ": uniq, "PROBDENSITY": prob,
+        "PROBDENSITY_SAMPLES": probd, "DISTMU_SAMPLES": mu,
+        "DISTSIGMA_SAMPLES": sig, "DISTNORM_SAMPLES": dn})
+
+
+def test_inclination_prior_from_fits(tmp_path):
+    from nmma_tpu.priors.astro import inclination_prior_from_fits
+    path = str(tmp_path / "skymap.fits")
+    iota_peak = 0.35
+    _write_synthetic_skymap(path, iota_peak, dl_true=120.0)
+    prior = inclination_prior_from_fits(path, dL=120.0)
+    grid = np.linspace(1e-3, np.pi / 2 - 1e-3, 400)
+    pdf = np.exp([float(prior.log_prob(g)) for g in grid])
+
+    # independent oracle of the reference formula (prior.py:123-152):
+    # p(iota) ∝ N(dL; mu(cos iota), sigma) |sin iota|, folded to [0, pi/2]
+    from scipy.stats import norm
+    mu_of_u = lambda u: 120.0 + 200.0 * np.abs(u - np.cos(iota_peak))
+
+    def p_iota(i):
+        return norm(mu_of_u(np.cos(i)), 15.0).pdf(120.0) * np.sin(i)
+
+    oracle = p_iota(grid) + p_iota(np.pi - grid)
+    oracle /= np.trapezoid(oracle, grid)
+    pdf_n = pdf / np.trapezoid(pdf, grid)
+    # PCHIP through 10 cos-iota nodes vs the exact curve: shape must agree
+    assert abs(grid[np.argmax(pdf_n)] - grid[np.argmax(oracle)]) < 0.06
+    assert np.max(np.abs(pdf_n - oracle)) < 0.25 * oracle.max()
+    # unit-cube transform stays in support
+    u = np.linspace(0.01, 0.99, 21)
+    x = np.asarray([float(prior.transform(v)) for v in u])
+    assert np.all((x >= 0) & (x <= np.pi / 2))
+    assert np.all(np.diff(x) > 0)
