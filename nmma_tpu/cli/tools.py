@@ -333,5 +333,33 @@ def multi_config(cli_args=None):
     return out
 
 
+def make_lcs(cli_args=None):
+    """``nmma-make-lcs``: radiative-transfer spectra -> model light curves
+    (reference make_lcs, nmma/em/lightcurve_handling.py:239-251)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--modeldir", default="model")
+    p.add_argument("--lcdir", default="lcs")
+    p.add_argument("--file-type", default=None,
+                   help="None (POSSIS ascii) | h5 | kasen | lanl")
+    p.add_argument("--filters", default="sdssu,ps1__g,ps1__r,ps1__i,"
+                                        "ps1__z,ps1__y,2massj,2massh,2massks")
+    p.add_argument("--dMpc", type=float, default=1e-5,
+                   help="distance in Mpc; default 10 pc -> absolute mags")
+    p.add_argument("--redshift", "--z", dest="redshift", type=float,
+                   default=None)
+    p.add_argument("--doAB", action="store_true", default=True)
+    p.add_argument("--doLbol", action="store_true")
+    p.add_argument("--doSmoothing", action="store_true")
+    args = p.parse_args(cli_args)
+    from ..io.radiative import make_lcs as _make
+    written = _make(args.modeldir, args.lcdir,
+                    [f for f in args.filters.split(",") if f],
+                    file_type=args.file_type, d_mpc=args.dMpc,
+                    redshift=args.redshift, bolometric=args.doLbol,
+                    smoothing=args.doSmoothing)
+    print(f"wrote {len(written)} light-curve file(s) to {args.lcdir}")
+    return written
+
+
 if __name__ == "__main__":
     raise SystemExit("invoke via the console-script entry points")
