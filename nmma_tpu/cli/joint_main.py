@@ -59,6 +59,14 @@ def nmma_generation(cli_args=None):
     injection = read_injection_entry(args.injection_file, args.injection_num)
 
     # conversion chain instructions
+    injection = dict(injection)
+    if "EOS" not in injection:
+        # legacy (LIGO-LW xml) injections carry no tidal information;
+        # zero-tidal is the standard default for sim_inspiral ingestion
+        injection.setdefault("lambda_1", 0.0)
+        injection.setdefault("lambda_2", 0.0)
+    gw_only = args.em_model is None and "EOS" not in injection \
+        and "ratio_zeta" not in injection
     chain = [C.bns_source_frame]
     eos_payload = None
     if args.eos_data:
@@ -66,11 +74,14 @@ def nmma_generation(cli_args=None):
         eos_set = load_macro_eos_set(args.eos_data)
         chain.append(eos_set)
         eos_payload = args.eos_data
-    else:
+    elif not gw_only:
         chain.append(C.radii_from_qur)
-    chain.append(C.KilonovaEjectaFitting())
+    if not gw_only:
+        # ejecta fitting needs EOS radii + disk-wind fractions; a pure-GW
+        # injection (e.g. from a sim_inspiral xml) skips it
+        chain.append(C.KilonovaEjectaFitting())
     conversion = C.MultimessengerConversion(*chain)
-    inj_conv = conversion(dict(injection))
+    inj_conv = conversion(injection)
     inj_scalar = {k: float(np.asarray(v)) for k, v in inj_conv.items()
                   if np.ndim(np.asarray(v)) == 0}
 
@@ -109,7 +120,9 @@ def nmma_generation(cli_args=None):
     # test-build the likelihood with one evaluation (reference
     # generation.py:209-213)
     likelihood, priors = build_joint_likelihood(dump)
-    logl = float(likelihood(inj_scalar))
+    import jax
+    # jit: eager complex ops are UNIMPLEMENTED on the axon TPU backend
+    logl = float(jax.jit(likelihood.log_likelihood)(inj_scalar))
     print(f"data dump written to {path}; test logL(injection) = {logl:.2f}")
     return path
 
@@ -125,13 +138,17 @@ def build_joint_likelihood(dump):
     args = dump["args"]
     priors = load_prior_file(dump["prior_file"])
 
+    gw_only = dump.get("em_data") is None \
+        and "EOS" not in dump["injection"] \
+        and "ratio_zeta" not in dump["injection"]
     chain = [C.bns_source_frame]
     if dump["eos_data"]:
         from ..eos import load_macro_eos_set
         chain.append(load_macro_eos_set(dump["eos_data"]))
-    else:
+    elif not gw_only:
         chain.append(C.radii_from_qur)
-    chain.append(C.KilonovaEjectaFitting())
+    if not gw_only:
+        chain.append(C.KilonovaEjectaFitting())
     conversion = C.MultimessengerConversion(*chain)
 
     # relative binning around the injection (fiducial) waveform: ~300x

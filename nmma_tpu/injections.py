@@ -19,8 +19,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def read_injection_file(path):
-    """Injection json -> dict of parameter arrays (bilby dataframe format)."""
+def read_injection_file(path, reference_frequency=20.0):
+    """Injection file -> dict of parameter arrays.
+
+    json: bilby dataframe format. .xml/.xml.gz: legacy LIGO-LW
+    sim_inspiral tables (reference file_to_dataframe,
+    nmma/joint/injection_handling.py:361-418) via the stdlib parser.
+    """
+    path = str(path)
+    if path.endswith((".xml", ".xml.gz")):
+        from .io.ligolw import sim_inspiral_to_injections
+        return sim_inspiral_to_injections(
+            path, reference_frequency=reference_frequency)
     with open(path) as f:
         data = json.load(f)
     content = data["injections"]["content"] if "injections" in data else data
