@@ -91,6 +91,13 @@ def _me2017_dynamics_xla(log10_mej, log10_vej, beta, kappa_r, t_days):
     energy: e_{j+1} = a_j e_j + b_j with a, b independent of e, so the
     time recurrence is a prefix composition of affine maps — O(log T)
     depth instead of 150 sequential micro-steps.
+
+    Stability: the explicit recurrence (here and in the reference)
+    requires |a_j| = |1 - dt/t - dt/denom| <= 1. On the default grids
+    (>=100 log-spaced points over <~20 days) this holds; very coarse
+    grids can push thin outer shells unstable, where this path and the
+    Pallas kernel amplify f32 rounding differently (both are then
+    equally meaningless — refine the grid).
     """
     params = {"log10_mej": log10_mej, "log10_vej": log10_vej, "beta": beta,
               "log10_kappa_r": jnp.log10(kappa_r)}

@@ -32,85 +32,60 @@ _MPREC = 300
 _L_SCALE = 1e40
 
 
-def _me2017_dynamics_kernel(tvec_ref, params_ref, xn0_ref, ltot_ref,
-                            rphoto_ref):
-    """One batch tile: tvec [8, T] packed time factors; params [TILE_B, 8];
-    xn0 [TILE_B, S_PAD] precomputed (Mosaic has no atan lowering)."""
-    n_t = ltot_ref.shape[1]
-
-    log10_mej = params_ref[:, 0:1]                       # [TB, 1]
+def _me2017_dynamics_kernel(tvec_ref, params_ref, xn0_ref, ltot_ref, rphoto_ref):
+    n_t = tvec_ref.shape[1]
+    log10_mej = params_ref[:, 0:1]
     log10_vej = params_ref[:, 1:2]
     beta = params_ref[:, 2:3]
     kappa_r = params_ref[:, 3:4]
-
     v0 = jnp.exp(jnp.log(10.0) * log10_vej) * c_cgs
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, S_PAD),
-                                    1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, S_PAD), 1).astype(jnp.float32)
     shell_ok = lane < (_MPREC - 1)
     frac = lane / (_MPREC - 1)
-    log_m = -8.0 + (log10_mej + 8.0) * frac              # [TB, S]
+    log_m = -8.0 + (log10_mej + 8.0) * frac
     m = jnp.exp(jnp.log(10.0) * log_m)
-    # vm = min(v0 (m/mej)^(-1/beta), c)
     vm = v0 * jnp.exp((-1.0 / beta) * jnp.log(10.0) * (log_m - log10_mej))
     vm = jnp.minimum(vm, c_cgs)
     xn0 = xn0_ref[:, :]
     xr = 1.0 - xn0
-    # dm via the geometric ratio: m_{i+1} - m_i = m_i (g - 1)
     g_ratio = jnp.exp(jnp.log(10.0) * (log10_mej + 8.0) / (_MPREC - 1))
     dm = m * (g_ratio - 1.0)
-
-    c_tdiff = 0.24 * msun_cgs / c_cgs / beta             # [TB, 1]
+    c_tdiff = 0.24 * msun_cgs / c_cgs / beta
     c_tau = msun_cgs / (4.0 * np.pi)
     inv_c = 1.0 / c_cgs
     msun_over_l = msun_cgs / _L_SCALE
+    # loop-invariant hoists
+    m_over_vm = m / vm
+    m_over_vm2 = m / (vm * vm)
 
-    # dynamic per-column VMEM stores are not lane-aligned on TPU; instead
-    # accumulate the [TILE_B, T] tracks in the loop carry with a one-hot
-    # column mask and store once at the end
-    n_t_pad = ltot_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n_t_pad), 1)
-
-    def step(j, carry):
-        ene, ltot_acc, rp_acc = carry
+    def step(j, ene):
         t_j = tvec_ref[0, j]
         dt_j = tvec_ref[1, j]
-        exp_tj = tvec_ref[2, j]          # exp(-t_j / 900)
-        edotr_j = tvec_ref[3, j]         # 2.1e10 eth_j t_day^-1.3
-
+        exp_tj = tvec_ref[2, j]
+        edotr_j = tvec_ref[3, j]
         xn = xn0 * exp_tj
         edot = 3.2e14 * xn + edotr_j
         kappa = 0.4 * (1.0 - xn - xr) + kappa_r * xr
-
-        tdiff = c_tdiff * kappa * m / (vm * t_j)
-        denom = tdiff + t_j * vm * inv_c
+        tdiff = (c_tdiff / t_j) * kappa * m_over_vm
+        denom = tdiff + (t_j * inv_c) * vm
         lum = ene / denom
         ltot = jnp.sum(jnp.where(shell_ok, lum * dm, 0.0), axis=1)
-
-        tau = c_tau * m * kappa / ((t_j * vm) ** 2)
+        tau = (c_tau / (t_j * t_j)) * kappa * m_over_vm2
         tau_dev = jnp.where(shell_ok, jnp.abs(tau - 1.0), 1e30)
-        # argmin+gather has no Mosaic lowering: min-reduce, then break ties
-        # by smallest lane index (matches np.argmin's first-match rule)
         dev_min = jnp.min(tau_dev, axis=1, keepdims=True)
         is_min = tau_dev <= dev_min
-        lane_min = jnp.min(jnp.where(is_min, lane, 1e9), axis=1,
-                           keepdims=True)
+        lane_min = jnp.min(jnp.where(is_min, lane, 1e9), axis=1, keepdims=True)
         first = is_min & (lane <= lane_min)
         vm_pig = jnp.sum(jnp.where(first, vm, 0.0), axis=1)
-
-        one_hot = col == j
-        ltot_acc = jnp.where(one_hot, (ltot * msun_over_l)[:, None],
-                             ltot_acc)
-        rp_acc = jnp.where(one_hot, (vm_pig * t_j)[:, None], rp_acc)
+        ltot_ref[pl.ds(j, 1), :] = (ltot * msun_over_l)[None, :]
+        rphoto_ref[pl.ds(j, 1), :] = (vm_pig * t_j)[None, :]
         ene = ene + dt_j * (edot - ene / t_j - lum)
-        return ene, ltot_acc, rp_acc
+        return ene
 
     ene0 = jnp.zeros((TILE_B, S_PAD), dtype=jnp.float32)
-    zeros_t = jnp.zeros((TILE_B, n_t_pad), dtype=jnp.float32)
-    _, ltot_acc, rp_acc = jax.lax.fori_loop(0, n_t - 1, step,
-                                            (ene0, zeros_t, zeros_t))
-    ltot_ref[:, :] = ltot_acc
-    rphoto_ref[:, :] = rp_acc
+    ltot_ref[pl.ds(n_t - 1, 1), :] = jnp.zeros((1, TILE_B), jnp.float32)
+    rphoto_ref[pl.ds(n_t - 1, 1), :] = jnp.zeros((1, TILE_B), jnp.float32)
+    jax.lax.fori_loop(0, n_t - 1, step, ene0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -118,16 +93,19 @@ def me2017_dynamics_pallas(log10_mej, log10_vej, beta, kappa_r, t_days,
                            interpret=False):
     """Batched (ltot40 [B, T], r_photo [B, T]) via the Pallas kernel.
 
-    t_days must be a static (concrete) 1-D grid.
+    t_days must be a static (concrete) 1-D grid. Outputs are computed
+    time-major ([T, B], dynamic sublane stores — Mosaic allows dynamic
+    sublane indices but not dynamic lane indices) and transposed on the
+    way out; the last time index is zero, matching the XLA
+    associative-scan path and the reference (lightcurve_generation.py
+    fills indices 0..T-2).
     """
     b = log10_mej.shape[0]
     n_t = t_days.shape[0]
     pad_b = (-b) % TILE_B
     params = jnp.stack([log10_mej, log10_vej, beta, kappa_r], axis=1)
-    params = jnp.pad(params.astype(jnp.float32),
-                     ((0, pad_b), (0, 4)))                # [B', 8]
+    params = jnp.pad(params.astype(jnp.float32), ((0, pad_b), (0, 4)))
     bp = b + pad_b
-
     t_days = jnp.asarray(t_days, dtype=jnp.float32)
     t = t_days * seconds_a_day
     dt = jnp.diff(t)
@@ -138,37 +116,30 @@ def me2017_dynamics_pallas(log10_mej, log10_vej, beta, kappa_r, t_days,
     tvec = tvec.at[1, :-1].set(dt)
     tvec = tvec.at[2].set(jnp.exp(-t / 900.0))
     tvec = tvec.at[3].set(2.1e10 * eth * t_days ** (-1.3))
-
-    # xn0 needs arctan, which Mosaic does not lower: precompute [B', S_PAD]
     lane = jnp.arange(S_PAD, dtype=jnp.float32)
     log_m_full = -8.0 + (params[:, 0:1] + 8.0) * lane[None, :] / (_MPREC - 1)
     m_full = jnp.exp(jnp.log(10.0) * log_m_full)
     xn0_full = (0.8 * 2.0 / np.pi) * jnp.arctan(1e-8 / m_full)
-
     grid = (bp // TILE_B,)
-    n_t_pad = ((n_t + 127) // 128) * 128
+    n_t_pad = ((n_t + 7) // 8) * 8
     ltot, rphoto = pl.pallas_call(
         _me2017_dynamics_kernel,
         grid=grid,
+        interpret=interpret,
         in_specs=[
-            # time factors are dynamically indexed scalars -> SMEM
-            pl.BlockSpec((8, n_t), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_B, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, S_PAD), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_t), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_B, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, S_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_B, n_t_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, n_t_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_t_pad, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_t_pad, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, n_t_pad), jnp.float32),
-            jax.ShapeDtypeStruct((bp, n_t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_t_pad, bp), jnp.float32),
+            jax.ShapeDtypeStruct((n_t_pad, bp), jnp.float32),
         ],
-        interpret=interpret,
     )(tvec, params, xn0_full)
-    return ltot[:b, :n_t], rphoto[:b, :n_t]
+    return ltot[:n_t, :b].T, rphoto[:n_t, :b].T
+
+
