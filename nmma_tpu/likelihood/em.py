@@ -33,8 +33,6 @@ from jax.scipy.special import log_ndtr
 
 from ..filters import resolve_filter
 from ..models.base import DetectorLightCurveModel
-from ..ops.interp import (masked_interp_contiguous_fill_pos,
-                          masked_interp_sorted_fill)
 from .systematics import SystematicsModel
 
 _NEG_INF = -1e30  # finite stand-in for nan_to_num(-inf); safe in f32
@@ -138,17 +136,6 @@ class EMLikelihood:
         self._helper_rows = np.asarray(rows)          # [F, K]
         self._helper_weights = np.asarray(weights)    # [F, K]
 
-        # log-uniform model grids + affine detector-frame time maps allow
-        # closed-form interpolation cell lookup (skips the O(Q x T)
-        # comparison reduction per filter per sample)
-        st = np.asarray(self.model.sample_times)
-        log_st = np.log(st)
-        steps = np.diff(log_st)
-        self._log_t0 = float(log_st[0])
-        self._dlog = float(steps.mean()) if len(steps) else 1.0
-        self._log_uniform_grid = bool(
-            len(steps) and np.allclose(steps, steps.mean(), rtol=1e-4))
-
         # detection limits per observed filter (reference :303-304)
         if detection_limit is None:
             detection_limit = np.inf
@@ -167,43 +154,43 @@ class EMLikelihood:
         Per observed filter: interpolate each helper model row onto that
         filter's observation times (inf outside the modelled range), then
         average (composite filters are magnitude means).
+
+        Gather-free hot path: linear interpolation is a dense hat-basis
+        contraction, est[f, n] = sum_t hat(t_obs[f, n]; x)_t y[f, t] with
+        the piecewise-linear hat built elementwise from the (monotone)
+        model time grid — one einsum on the MXU instead of four dynamic
+        gathers per query (gathers dominated the likelihood cost on TPU).
+        Validity uses the contiguous-finite-block assumption of model
+        light curves (inf head before rise / inf tail past the grid):
+        queries outside [x[first_finite], x[last_finite]] -> inf fill.
         """
-        if self._log_uniform_grid:
-            # obs_times_model = sample_times * (1+z) + timeshift: invert the
-            # affine map, then the log-uniform grid index is a floor()
-            scale = obs_times_model[-1] - obs_times_model[0]
-            st = np.asarray(self.model.sample_times)
-            one_plus_z = scale / (st[-1] - st[0])
-            shift = obs_times_model[0] - st[0] * one_plus_z
+        x = obs_times_model                                    # [T]
+        n_grid = x.shape[0]
+        rows = model_mags[self._helper_rows]                   # [F, K, T]
+        wrow = self._helper_weights[:, :, None]                # [F, K, 1]
+        clean = jnp.where(jnp.isfinite(rows), rows, 0.0)
 
-            def positions(t_q):
-                t_src = (t_q - shift) / one_plus_z
-                safe = jnp.maximum(t_src, 1e-30)
-                pos = jnp.floor(
-                    (jnp.log(safe) - self._log_t0) / self._dlog)
-                return jnp.clip(pos, 0, len(st) - 1).astype(jnp.int32)
-        else:
-            positions = None
+        # hat weights in time space (exact linear interp on any monotone
+        # grid): w_t(xq) = clip(min((xq-x_{t-1})/dx_l, (x_{t+1}-xq)/dx_r))
+        xq = self.data.times[:, :, None]                       # [F, N, 1]
+        x_l = jnp.concatenate([x[:1], x[:-1]])
+        x_r = jnp.concatenate([x[1:], x[-1:]])
+        dl = jnp.maximum(x - x_l, 1e-30)
+        dr = jnp.maximum(x_r - x, 1e-30)
+        up = (xq - x_l[None, None, :]) / dl[None, None, :]
+        dn = (x_r[None, None, :] - xq) / dr[None, None, :]
+        hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)          # [F, N, T]
+        est_k = jnp.einsum("fnt,fkt->fkn", hat, clean)         # [F, K, N]
 
-        def one_filter(f_idx):
-            t_q = self.data.times[f_idx]
-            rows = self._helper_rows[f_idx]
-            w = self._helper_weights[f_idx]
-            pos = positions(t_q) if positions is not None else None
-            vals = []
-            for k in range(rows.shape[0]):
-                # model time grids are monotone -> sort-free masked interp
-                if pos is not None:
-                    interp = masked_interp_contiguous_fill_pos(
-                        t_q, obs_times_model, model_mags[rows[k]], jnp.inf,
-                        pos)
-                else:
-                    interp = masked_interp_sorted_fill(
-                        t_q, obs_times_model, model_mags[rows[k]], jnp.inf)
-                vals.append(jnp.where(w[k] > 0.0, interp * w[k], 0.0))
-            return sum(vals)
-
-        return jnp.stack([one_filter(i) for i in range(len(self.filters))])
+        valid = jnp.isfinite(rows)                             # [F, K, T]
+        n_valid = valid.sum(axis=2)
+        first = jnp.argmax(valid, axis=2)
+        last = n_grid - 1 - jnp.argmax(jnp.flip(valid, axis=2), axis=2)
+        tq = self.data.times[:, None, :]                       # [F, 1, N]
+        ok = (tq >= x[first][:, :, None]) & (tq <= x[last][:, :, None]) \
+            & (n_valid[:, :, None] >= 2)
+        est_k = jnp.where(ok, est_k, jnp.inf)
+        return jnp.sum(jnp.where(wrow > 0.0, est_k * wrow, 0.0), axis=1)
 
     def log_likelihood(self, parameters):
         obs_times_model, model_mags = self.model(parameters)
