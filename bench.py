@@ -49,9 +49,12 @@ def bench_tpu_rate(ana):
     for i in range(TIMED_ITERS):
         # nudge inputs so no caching of results is possible
         out = logl(u + (i + 1) * 1e-6)
-    jax.block_until_ready(out)
+    # single-device execution is in-order: a host transfer of the last
+    # output syncs the whole queue (block_until_ready is not a reliable
+    # barrier for every buffer type on the axon remote backend)
+    host_out = np.asarray(out)
     dt = time.perf_counter() - t0
-    return BATCH * TIMED_ITERS / dt, np.asarray(out)
+    return BATCH * TIMED_ITERS / dt, host_out
 
 
 def bench_cpu_baseline(ana, n_evals=8):
