@@ -125,7 +125,9 @@ class EMAnalysis:
         result = result or self.result
         idx = result.posterior_indices(rng)
         u = jnp.asarray(result.samples_u[idx])
-        params = self.priors.transform(u)
+        # jit: eager per-parameter transforms are one remote RPC each on
+        # the axon backend (seconds/op); one compiled call instead
+        params = jax.jit(self.priors.transform)(u)
         out = {k: np.asarray(v) for k, v in params.items()}
         out["log_likelihood"] = result.logl[idx]
         return out
@@ -134,8 +136,9 @@ class EMAnalysis:
         result = result or self.result
         i_best = int(np.argmax(result.logl))
         u = jnp.asarray(result.samples_u[i_best])
-        params = self.priors.transform(u)
-        return {k: float(np.asarray(v)) for k, v in params.items()}
+        params = jax.jit(self.priors.transform)(u)
+        host = jax.device_get(params)
+        return {k: float(np.asarray(v)) for k, v in host.items()}
 
     def save_result(self, result=None):
         cfg = self.config

@@ -128,22 +128,30 @@ class NestedSampler:
     # ------------------------------------------------------------------
     def init_state(self, key=None) -> NSState:
         cfg = self.config
-        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-        key, sub = jax.random.split(key)
-        u = jax.random.uniform(sub, (cfg.nlive, self.ndim))
-        # jit the initial evaluation: eager complex ops (GW likelihoods)
-        # are unimplemented on the axon TPU backend
-        logl = jax.jit(self.logl_fn)(u)
-        return NSState(
-            u_live=u, logl_live=logl,
-            log_x=jnp.asarray(0.0), logz=jnp.asarray(NEG_INF),
-            logzvar=jnp.asarray(0.0), h_info=jnp.asarray(0.0),
-            scale=jnp.asarray(1.0),
-            n_accept=jnp.asarray(0.0), n_propose=jnp.asarray(0.0),
-            n_call=jnp.asarray(cfg.nlive, dtype=jnp.int64
-                               if jax.config.jax_enable_x64 else jnp.int32),
-            it=jnp.asarray(0, dtype=jnp.int32), key=key,
-        )
+
+        # one jitted program for the whole initialisation: on the axon
+        # remote backend every eager op is a round trip with high and
+        # highly variable latency (seconds each), and eager complex ops
+        # (GW likelihoods) are unimplemented there outright
+        def _init(seed_key):
+            key, sub = jax.random.split(seed_key)
+            u = jax.random.uniform(sub, (cfg.nlive, self.ndim))
+            logl = self.logl_fn(u)
+            return NSState(
+                u_live=u, logl_live=logl,
+                log_x=jnp.asarray(0.0), logz=jnp.asarray(NEG_INF),
+                logzvar=jnp.asarray(0.0), h_info=jnp.asarray(0.0),
+                scale=jnp.asarray(1.0),
+                n_accept=jnp.asarray(0.0), n_propose=jnp.asarray(0.0),
+                n_call=jnp.asarray(cfg.nlive, dtype=jnp.int64
+                                   if jax.config.jax_enable_x64
+                                   else jnp.int32),
+                it=jnp.asarray(0, dtype=jnp.int32), key=key,
+            )
+
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        return jax.jit(_init)(key)
 
     # ------------------------------------------------------------------
     def _replace_batch(self, key, u_live, logl_live, threshold, scale,
@@ -282,10 +290,11 @@ class NestedSampler:
             state = self.init_state(key)
 
         t_run0 = time.time()
-        ncall_0 = int(state.n_call)
+        cur_it = int(jax.device_get(state.it))
+        ncall_0 = int(jax.device_get(state.n_call))
         profiled = False
-        while int(state.it) * cfg.n_delete < cfg.max_iter * cfg.n_delete:
-            if cfg.profile_dir and not profiled and int(state.it) > 0:
+        while cur_it * cfg.n_delete < cfg.max_iter * cfg.n_delete:
+            if cfg.profile_dir and not profiled and cur_it > 0:
                 # profile the second chunk (first carries compile)
                 with jax.profiler.trace(cfg.profile_dir):
                     state, chunk = self._chunk_fn(state)
@@ -293,23 +302,31 @@ class NestedSampler:
                 profiled = True
             else:
                 state, chunk = self._chunk_fn(state)
-            dead_u.append(np.asarray(chunk.u).reshape(-1, self.ndim))
-            dead_logl.append(np.asarray(chunk.logl).ravel())
-            dead_logw.append(np.asarray(chunk.logw).ravel())
-            dead_logx.append(np.asarray(chunk.log_x).ravel())
+            # one bulk device->host transfer per chunk: per-field pulls and
+            # eager reductions are each a separate round trip on the axon
+            # remote backend
+            h_state, h_chunk = jax.device_get((state, chunk))
+            dead_u.append(np.asarray(h_chunk.u).reshape(-1, self.ndim))
+            dead_logl.append(np.asarray(h_chunk.logl).ravel())
+            dead_logw.append(np.asarray(h_chunk.logw).ravel())
+            dead_logx.append(np.asarray(h_chunk.log_x).ravel())
 
-            logz = float(state.logz)
-            logz_remain = float(jnp.max(state.logl_live)) + float(state.log_x)
+            logz = float(h_state.logz)
+            logz_remain = float(np.max(h_state.logl_live)) \
+                + float(h_state.log_x)
             dlogz = float(np.logaddexp(logz, logz_remain) - logz)
             if verbose:
-                eff = float(state.n_accept) / max(float(state.n_propose), 1.0)
-                rate = (int(state.n_call) - ncall_0) / max(
+                eff = float(h_state.n_accept) / max(
+                    float(h_state.n_propose), 1.0)
+                rate = (int(h_state.n_call) - ncall_0) / max(
                     time.time() - t_run0, 1e-9)
-                print(f"it={int(state.it):6d} ncall={int(state.n_call):9d} "
+                print(f"it={int(h_state.it):6d} "
+                      f"ncall={int(h_state.n_call):9d} "
                       f"logz={logz:10.3f} dlogz={dlogz:8.4f} "
-                      f"eff={eff:5.3f} scale={float(state.scale):7.4f} "
+                      f"eff={eff:5.3f} scale={float(h_state.scale):7.4f} "
                       f"evals/s={rate:8.0f}",
                       flush=True)
+            cur_it = int(h_state.it)
             if checkpoint_path is not None and \
                     (interrupted["flag"] or
                      time.time() - t_last_ckpt > cfg.check_point_delta_t):
@@ -322,7 +339,7 @@ class NestedSampler:
                 break
             if dlogz < cfg.dlogz:
                 break
-            if int(state.it) >= cfg.max_iter:
+            if cur_it >= cfg.max_iter:
                 break
 
         if old_handlers:

@@ -18,11 +18,19 @@ def compute_chisquare_dict(analysis, bestfit_params):
     """Per-filter chi^2/dof at the best-fit point, raw and with the
     systematic error budget (reference compute_chisquare_dict,
     lightcurve_handling.py:113-152)."""
-    import jax.numpy as jnp
+    import jax
+
     lk = analysis.likelihood
-    obs_t, mags = lk.model(bestfit_params)
-    est = np.asarray(lk.expected_mags(obs_t, mags))
-    sigma_sys = np.asarray(lk.systematics(bestfit_params, lk.data.times))
+
+    # one jitted evaluation: the eager model would be hundreds of remote
+    # RPCs on the axon backend (minutes of wall clock)
+    def _eval(p):
+        obs_t, mags = lk.model(p)
+        return lk.expected_mags(obs_t, mags), lk.systematics(p, lk.data.times)
+
+    est, sigma_sys = jax.device_get(jax.jit(_eval)(bestfit_params))
+    est = np.asarray(est)
+    sigma_sys = np.asarray(sigma_sys)
     out = {}
     data = lk.data
     for i, filt in enumerate(lk.filters):
@@ -79,7 +87,7 @@ def lightcurve_fit_plot(analysis, result=None, n_band_samples=60,
     lk = analysis.likelihood
     filters = lk.filters
     bestfit = analysis.bestfit_parameters(result)
-    obs_t, best_mags = lk.model(bestfit)
+    obs_t, best_mags = jax.jit(lk.model)(bestfit)   # eager = RPC-per-op
     obs_t = np.asarray(obs_t)
     best_mags = np.asarray(best_mags)
 
@@ -88,8 +96,8 @@ def lightcurve_fit_plot(analysis, result=None, n_band_samples=60,
     take = idx[np.linspace(0, len(idx) - 1,
                            min(n_band_samples, len(idx))).astype(int)]
     u = jnp.asarray(result.samples_u[take])
-    params = analysis.priors.transform(u)
-    band_t, band_mags = jax.vmap(lk.model)(params)
+    params = jax.jit(analysis.priors.transform)(u)
+    band_t, band_mags = jax.jit(jax.vmap(lk.model))(params)
     band_mags = np.asarray(band_mags)          # [S, F, T]
 
     n = len(filters)
