@@ -134,3 +134,57 @@ class JointEoSConstraint:
         for c in self.constraints:
             total = total + c(parameters, curves)
         return total
+
+
+def tabulate_weighted_eos(eos_set, constraint, outdir, previous_weights=None,
+                          normalise=True):
+    """Re-weight and sort a macro EOS family under constraints.
+
+    Counterpart of ``tabulate_weighted_eos``
+    (nmma/eos/eos_likelihood.py:262-326): the reference evaluates the
+    constraint per EOS with a process pool; here the whole family's
+    curves are scored in one vmapped/jitted call on the device. Output
+    layout matches the reference: ``outdir/sorted/<i>.dat`` (R, M
+    columns, ascending weight order) + ``outdir/eos_weights.dat``.
+
+    Returns (weight_path, sorted_dir, n_eos, weights ascending).
+    """
+    import os
+
+    import jax
+
+    m_grid = jnp.asarray(eos_set.mass_grid)
+
+    def score(i):
+        curves = {"masses": m_grid, "radii": eos_set.radii[i]}
+        params = {"TOV_mass": eos_set.tov_mass[i]}
+        return constraint(params, curves)
+
+    n = len(eos_set.tov_mass)
+    log_w = np.asarray(jax.jit(jax.vmap(score))(jnp.arange(n)),
+                       dtype=np.float64)
+    good = np.isfinite(log_w)
+    log_w = log_w[good]
+    idx_good = np.flatnonzero(good)
+
+    if previous_weights is not None:
+        prev = np.asarray(previous_weights, dtype=np.float64)[good]
+        log_w = log_w + np.log(np.maximum(prev, 1e-300))
+    if normalise:
+        from scipy.special import logsumexp
+        log_w = log_w - logsumexp(log_w)
+    weights = np.exp(log_w)
+
+    sorted_dir = os.path.join(outdir, "sorted")
+    os.makedirs(sorted_dir, exist_ok=True)
+    order = np.argsort(weights)
+    for rank, j in enumerate(order):
+        i = idx_good[j]
+        m = np.asarray(eos_set.mass_grid)
+        r = np.asarray(eos_set.radii[i])
+        keep = r > 0
+        np.savetxt(os.path.join(sorted_dir, f"{rank + 1}.dat"),
+                   np.column_stack([r[keep], m[keep]]))
+    weight_path = os.path.join(outdir, "eos_weights.dat")
+    np.savetxt(weight_path, weights[order])
+    return weight_path, sorted_dir, int(good.sum()), weights[order]

@@ -186,3 +186,56 @@ def corner_plot(samples: dict, parameters=None, truths=None, save_path=None,
         fig.savefig(save_path, dpi=110)
         plt.close(fig)
     return save_path
+
+
+def eos_mr_band_plot(eos_set, weights=None, credible=(0.68, 0.95),
+                     constraints=None, save_path="eos_mr_band.png"):
+    """Weighted M-R credible-band diagnostics plot.
+
+    Counterpart of ``final_diagnostics`` (nmma/eos/eos_likelihood.py:67-130):
+    per mass-grid point, the weighted radius quantiles over the EOS family,
+    with optional constraint annotations.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    radii = np.asarray(eos_set.radii)              # [N, M]
+    m_grid = np.asarray(eos_set.mass_grid)
+    n = radii.shape[0]
+    w = np.ones(n) / n if weights is None else \
+        np.asarray(weights, dtype=np.float64)
+    w = w / w.sum()
+
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    colors = ["C0", "C1"]
+    for ci, c in enumerate(sorted(credible, reverse=True)):
+        lo_q, hi_q = 0.5 - c / 2, 0.5 + c / 2
+        lo = np.full(len(m_grid), np.nan)
+        hi = np.full(len(m_grid), np.nan)
+        for k, m in enumerate(m_grid):
+            r = radii[:, k]
+            ok = r > 0                       # EOSs that reach this mass
+            if ok.sum() < 2:
+                continue
+            order = np.argsort(r[ok])
+            cdf = np.cumsum(w[ok][order])
+            cdf /= cdf[-1]
+            lo[k] = np.interp(lo_q, cdf, r[ok][order])
+            hi[k] = np.interp(hi_q, cdf, r[ok][order])
+        ax.fill_betweenx(m_grid, lo, hi, alpha=0.35,
+                         color=colors[ci % len(colors)],
+                         label=f"{int(c * 100)}% credible")
+    for c in (constraints or []):
+        label = getattr(c, "name", None) or type(c).__name__
+        if hasattr(c, "measured_mass"):
+            ax.axhline(float(c.measured_mass), ls="--", lw=1, color="gray")
+            ax.text(ax.get_xlim()[1], float(c.measured_mass), f" {label}",
+                    va="center", fontsize=7)
+    ax.set_xlabel("radius [km]")
+    ax.set_ylabel("mass [Msun]")
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path

@@ -252,6 +252,52 @@ class Interped(Prior):
         return jnp.log(jnp.maximum(dens, 1e-300))
 
 
+
+class WeightedCategorical(Prior):
+    """Discrete prior over EOS table indices with optional weights.
+
+    Counterpart of the reference's ``WeightedCategorical``
+    (nmma/eos/eos_likelihood.py ``setup_tabulated_eos_priors``:21-32):
+    the unit-cube coordinate inverts the weight CDF to a category index
+    in [0, ncategories). The transform returns the *float* index at the
+    category midpoint so downstream ``TabulatedEOSSet.__call__`` (which
+    floors) selects the category; gradients are zero (discrete).
+    """
+
+    def __init__(self, ncategories, weights=None, name=None,
+                 latex_label=None):
+        super().__init__(name=name, latex_label=latex_label, minimum=0.0,
+                         maximum=float(ncategories))
+        self.ncategories = int(ncategories)
+        if weights is None:
+            w = np.ones(self.ncategories, dtype=np.float64)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+            if len(w) != self.ncategories:
+                raise ValueError(
+                    f"{len(w)} weights for {self.ncategories} categories")
+        w = np.maximum(w, 0.0)
+        self._probs = w / w.sum()
+        cdf = np.concatenate([[0.0], np.cumsum(self._probs)])
+        cdf[-1] = 1.0
+        self._cdf = jnp.asarray(cdf)
+        self._log_probs = jnp.asarray(
+            np.log(np.maximum(self._probs, 1e-300)))
+
+    def transform(self, u, params=None):
+        # category = number of CDF edges below u (comparison count; no
+        # searchsorted -- pathologically slow to compile on this backend)
+        u = jnp.asarray(u)
+        idx = jnp.sum(u[..., None] >= self._cdf[1:-1], axis=-1)
+        return idx.astype(jnp.float32) + 0.5
+
+    def log_prob(self, x):
+        idx = jnp.clip(jnp.floor(jnp.asarray(x)).astype(jnp.int32), 0,
+                       self.ncategories - 1)
+        in_range = (x >= 0.0) & (x < self.ncategories)
+        return jnp.where(in_range, self._log_probs[idx], -jnp.inf)
+
+
 class Constraint(Prior):
     """Range constraint on a derived parameter; not sampled.
 

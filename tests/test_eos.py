@@ -130,3 +130,52 @@ def test_cse_family_tov():
         assert ns.any()
         assert 1.2 < m[ns].max() < 3.0
         assert 8.0 < r[ns][np.argmax(m[ns])] < 16.0
+
+
+def test_tabulate_weighted_eos_and_categorical(tmp_path):
+    """EOS reweighting under constraints + WeightedCategorical prior."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from nmma_tpu.eos import load_macro_eos_set, tabulate_weighted_eos
+    from nmma_tpu.eos.likelihood import (JointEoSConstraint,
+                                         LowerMTOVConstraint)
+    from nmma_tpu.priors import WeightedCategorical
+
+    eos_set = load_macro_eos_set("/root/reference/nmma/tests/data/eos_macro")
+    constraint = JointEoSConstraint(LowerMTOVConstraint(2.01, 0.04))
+    wpath, sdir, n, weights = tabulate_weighted_eos(
+        eos_set, constraint, str(tmp_path))
+    assert n == len(np.asarray(eos_set.tov_mass))
+    assert np.all(np.diff(weights) >= 0)              # sorted ascending
+    assert abs(weights.sum() - 1.0) < 1e-8            # normalised
+    assert len(glob.glob(str(tmp_path / "sorted" / "*.dat"))) == n
+    # heavier-MTOV EOS must carry more weight under a lower-MTOV bound
+    tovs = np.asarray(eos_set.tov_mass)
+    saved = np.loadtxt(wpath)
+    assert np.array_equal(np.round(saved, 10), np.round(weights, 10))
+
+    # WeightedCategorical inverts the weight CDF
+    prior = WeightedCategorical(n, weights)
+    u = np.linspace(0.001, 0.999, 4001)
+    idx = np.floor(np.asarray(prior.transform(jnp.asarray(u)))).astype(int)
+    freq = np.bincount(idx, minlength=n) / len(u)
+    assert np.allclose(freq, weights, atol=0.01)
+    # uniform default
+    pu = WeightedCategorical(4)
+    iu = np.floor(np.asarray(pu.transform(jnp.asarray(u)))).astype(int)
+    assert np.allclose(np.bincount(iu, minlength=4) / len(u), 0.25,
+                       atol=0.01)
+    import pytest
+    with pytest.raises(ValueError):
+        WeightedCategorical(3, [0.5, 0.5])
+
+
+def test_eos_mr_band_plot(tmp_path):
+    from nmma_tpu.eos import load_macro_eos_set
+    from nmma_tpu.plotting import eos_mr_band_plot
+    import os
+    eos_set = load_macro_eos_set("/root/reference/nmma/tests/data/eos_macro")
+    out = eos_mr_band_plot(eos_set, save_path=str(tmp_path / "mr.png"))
+    assert os.path.getsize(out) > 10000
