@@ -55,6 +55,8 @@ def nmma_generation(cli_args=None):
     from ..priors import load_prior_file
 
     os.makedirs(args.outdir, exist_ok=True)
+    from .parsing import write_complete_config
+    write_complete_config(args)
     priors = load_prior_file(args.prior_file)
     injection = read_injection_entry(args.injection_file, args.injection_num)
 

@@ -88,8 +88,34 @@ def _single_run(args):
               f"at dL={float(dL):.1f} Mpc")
         priors = PriorDict(priors)
     analysis = EMAnalysis(cfg, data=data, priors=priors)
+    from .parsing import write_complete_config
+    write_complete_config(args)
     if args.skip_sampling:
-        print("--skip-sampling: likelihood assembled; exiting before PE.")
+        # with an existing checkpoint, regenerate result artifacts/plots
+        # from it without further sampling (reference --skip-sampling
+        # semantics, nmma/core/base.py:307-314)
+        import os
+
+        from ..inference import NestedSampler
+        ckpt = os.path.join(cfg.outdir,
+                            f"{cfg.label}_checkpoint_resume.npz")
+        if os.path.exists(ckpt):
+            sampler = NestedSampler(analysis.batched_logl,
+                                    analysis.priors.ndim, cfg.sampler)
+            state, dead = sampler.load_checkpoint(ckpt)
+            analysis.result = sampler._finalise(state, *dead)
+            analysis.save_result()
+            print(f"--skip-sampling: result regenerated from {ckpt} "
+                  f"(logz={analysis.result.logz:.3f}).")
+            if args.bestfit:
+                from ..plotting import post_process_bestfit
+                post_process_bestfit(analysis)
+            if args.plot:
+                from ..plotting import lightcurve_fit_plot
+                lightcurve_fit_plot(analysis)
+            return analysis
+        print("--skip-sampling: likelihood assembled; exiting before PE "
+              "(no checkpoint found to regenerate from).")
         return analysis
     result = analysis.run(verbose=True)
     print(f"log-evidence: {result.logz:.3f} +/- {result.logz_err:.3f} "

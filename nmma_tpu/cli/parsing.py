@@ -141,3 +141,26 @@ def sampler_config_from_args(args):
         nlive=args.nlive, n_delete=n_delete, walks=args.walks,
         dlogz=args.dlogz, seed=args.seed,
         check_point_delta_t=args.check_point_delta_t)
+
+
+def write_complete_config(args, outdir=None, label=None):
+    """Write back the fully-resolved configuration as an ini file.
+
+    Counterpart of ``write_complete_config_file``
+    (nmma/joint/generation.py:76-114): every flag with its resolved value
+    (defaults + config file + CLI overrides), so a run is reproducible
+    from its output directory alone.
+    """
+    import os
+    outdir = outdir or getattr(args, "outdir", "outdir")
+    label = label or getattr(args, "label", "run")
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, f"{label}_config_complete.ini")
+    with open(path, "w") as fh:
+        fh.write("[config]\n")
+        for key in sorted(vars(args)):
+            value = getattr(args, key)
+            if value is None:
+                continue
+            fh.write(f"{key.replace('_', '-')} = {value}\n")
+    return path
