@@ -100,22 +100,41 @@ def train_flow_posterior(theta, lightcurves, parameter_names,
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, z_batch, lc_batch):
+    bsz = min(batch_size, n)
+
+    def step(carry, idx):
+        params, opt_state = carry
+        z_batch, lc_batch = z_all[idx], lc_all[idx]
+
         def loss_fn(p):
             return -jnp.mean(net.apply(p, z_batch, lc_batch,
                                        method=_ConditionalFlowNet.log_prob))
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
 
+    # scan a block of epochs per dispatch: per-epoch python dispatch is
+    # one remote round trip each on the axon backend. Minibatch indices
+    # are precomputed host-side (same numpy RNG stream as the original
+    # per-epoch loop) and streamed through the scan.
+    block = max(1, n_epochs // (5 if verbose else 1))
     rng = np.random.default_rng(seed)
-    for epoch in range(n_epochs):
-        idx = rng.choice(n, size=min(batch_size, n), replace=False)
-        params, opt_state, loss = step(params, opt_state, z_all[idx],
-                                       lc_all[idx])
-        if verbose and epoch % max(1, n_epochs // 5) == 0:
-            print(f"flow epoch {epoch:5d} nll {float(loss):.4f}")
+
+    @jax.jit
+    def run_block(params, opt_state, idx_block):
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), idx_block)
+        return params, opt_state, losses[-1]
+
+    done = 0
+    while done < n_epochs:
+        idx_block = jnp.asarray(np.stack([
+            rng.choice(n, size=bsz, replace=False) for _ in range(block)]))
+        params, opt_state, loss = run_block(params, opt_state, idx_block)
+        done += block
+        if verbose:
+            print(f"flow epoch {min(done, n_epochs):5d} "
+                  f"nll {float(loss):.4f}")
 
     return LFIPosterior(net=net, params=params, theta_mean=t_mean,
                         theta_std=t_std,

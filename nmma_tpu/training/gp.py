@@ -90,16 +90,27 @@ def fit_gp_coefficients(x, coeffs, n_steps=400, learning_rate=0.05,
     opt = optax.adam(learning_rate)
     state = opt.init(params)
 
-    @jax.jit
-    def step(params, state):
+    def step(carry, _):
+        params, state = carry
         loss, grads = jax.value_and_grad(total_nll)(params)
         updates, state = opt.update(grads, state)
-        return optax.apply_updates(params, updates), state, loss
+        return (optax.apply_updates(params, updates), state), loss
 
-    for i in range(n_steps):
-        params, state, loss = step(params, state)
-        if verbose and i % max(1, n_steps // 5) == 0:
-            print(f"gp step {i:4d} nll {float(loss):.3f}")
+    # scan a block of steps per dispatch (remote-backend round trips)
+    block = max(1, n_steps // (5 if verbose else 1))
+
+    @jax.jit
+    def run_block(params, state):
+        (params, state), losses = jax.lax.scan(step, (params, state), None,
+                                               length=block)
+        return params, state, losses[-1]
+
+    done = 0
+    while done < n_steps:
+        params, state, loss = run_block(params, state)
+        done += block
+        if verbose:
+            print(f"gp step {min(done, n_steps):4d} nll {float(loss):.3f}")
 
     # precompute K^-1 y per GP with the fitted hyperparameters
     def alpha_one(i):

@@ -245,19 +245,33 @@ def train_svd_model(entries, parameter_names, filters=None,
     opt = optax.adam(cfg.learning_rate)
     opt_state = opt.init(net)
 
-    @jax.jit
-    def step(net, opt_state):
+    def step(carry, _):
+        net, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(net, x_train, y_train)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(net, updates), opt_state, loss
+        return (optax.apply_updates(net, updates), opt_state), loss
 
-    for epoch in range(cfg.n_epochs):
-        net, opt_state, loss = step(net, opt_state)
-        if verbose and epoch % max(1, cfg.n_epochs // 5) == 0:
-            print(f"epoch {epoch:5d} train mse {float(loss):.5f}")
+    # fuse a block of epochs into one scanned program: per-epoch python
+    # dispatch is one remote round trip each on the axon backend
+    n_blocks = 5 if verbose else 1
+    block = max(1, cfg.n_epochs // n_blocks)
+
+    @jax.jit
+    def run_block(net, opt_state):
+        (net, opt_state), losses = jax.lax.scan(
+            step, (net, opt_state), None, length=block)
+        return net, opt_state, losses[-1]
+
+    done = 0
+    while done < cfg.n_epochs:
+        net, opt_state, loss = run_block(net, opt_state)
+        done += block
+        if verbose:
+            print(f"epoch {min(done, cfg.n_epochs):5d} "
+                  f"train mse {float(loss):.5f}")
     if n_hold:
-        hold_loss = float(loss_fn(net, jnp.asarray(x[hold_idx]),
-                                  jnp.asarray(coeffs[hold_idx])))
+        hold_loss = float(jax.jit(loss_fn)(
+            net, jnp.asarray(x[hold_idx]), jnp.asarray(coeffs[hold_idx])))
         if verbose:
             print(f"holdout mse {hold_loss:.5f} ({n_hold} grid points)")
 
