@@ -60,7 +60,7 @@ def run_nmma_model(payload: dict) -> dict:
                     np.percentile(v, [5, 50, 95]).tolist()))
         for k, v in post.items() if np.ndim(v) == 1 and k != "log_likelihood"
     }
-    return {
+    response = {
         "status": "success",
         "log_evidence": result.logz,
         "log_evidence_err": result.logz_err,
@@ -68,6 +68,38 @@ def run_nmma_model(payload: dict) -> dict:
         "bestfit": analysis.bestfit_parameters(result),
         "posterior_quantiles": quantiles,
     }
+    if payload.get("return_plots"):
+        # base64-encoded PNGs, as the reference service returns
+        # (nmma/api/app.py plot_data webhooks)
+        import base64
+        import os
+
+        from ..plotting import corner_plot, lightcurve_fit_plot
+        os.makedirs(cfg.outdir, exist_ok=True)
+        plots = {}
+        lc_path = lightcurve_fit_plot(analysis)
+        corner_path = os.path.join(cfg.outdir, f"{cfg.label}_corner.png")
+        corner_plot(post, save_path=corner_path)
+        for name, path in (("lightcurves", lc_path), ("corner", corner_path)):
+            with open(path, "rb") as fh:
+                plots[name] = base64.b64encode(fh.read()).decode("ascii")
+        response["plots"] = plots
+    return response
+
+
+def post_webhook(url: str, response: dict, timeout=30):
+    """POST the analysis result to a callback URL (reference webhook
+    semantics, nmma/api/app.py). stdlib urllib; errors returned, not
+    raised, so the analysis result is never lost to a dead callback."""
+    import urllib.request
+    body = json.dumps(response).encode()
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return {"webhook_status": resp.status}
+    except Exception as exc:  # noqa: BLE001
+        return {"webhook_status": "error", "webhook_error": str(exc)}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -79,6 +111,9 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length))
             response = run_nmma_model(payload)
+            if payload.get("callback_url"):
+                response.update(post_webhook(payload["callback_url"],
+                                             response))
             body = json.dumps(response).encode()
             self.send_response(200)
         except Exception as exc:  # noqa: BLE001 — surface errors to client

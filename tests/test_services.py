@@ -118,3 +118,57 @@ def test_maximum_mass_resampler(rng):
                           max_iter=60)
     assert np.isfinite(res.logz)
     assert len(samples["EOS"]) > 10
+
+
+def test_skyportal_bridge(tmp_path):
+    """SkyPortal payload -> argv -> analysis -> result pointers."""
+    import pandas as pd
+
+    from nmma_tpu.skyportal import run_from_skyportal_inputs
+
+    # synthetic SkyPortal photometry csv (mjd, filter, mag, magerr)
+    rng = np.random.default_rng(0)
+    mjd = 58000.0 + np.linspace(0.6, 6.0, 10)
+    rows = []
+    for f in ("ztfg", "ztfr"):
+        for t in mjd:
+            rows.append({"mjd": t, "filter": f,
+                         "mag": 19.0 + 0.5 * (t - 58000.0),
+                         "magerr": 0.1})
+    photo_csv = tmp_path / "phot.csv"
+    pd.DataFrame(rows).to_csv(photo_csv, index=False)
+    z_csv = tmp_path / "z.csv"
+    pd.DataFrame([{"redshift": 0.01}]).to_csv(z_csv, index=False)
+
+    calls = {}
+
+    def fake_invoke(argv):
+        calls["argv"] = argv
+        return None
+
+    out = run_from_skyportal_inputs(
+        {"photometry": str(photo_csv), "redshift": str(z_csv),
+         "prior": "/root/reference/priors/Me2017.prior",
+         "analysis_parameters": {"nlive": 32, "fix_z": True}},
+        outdir=tmp_path / "osg", invoke=fake_invoke)
+    assert out["status"] == "success", out["message"]
+    argv = calls["argv"]
+    assert "--model" in argv and "Me2017" in argv
+    # fix_z pinned the distance in the rewritten prior
+    prior_text = (tmp_path / "osg" / "Me2017.prior").read_text()
+    assert "luminosity_distance = " in prior_text
+    dl = float(prior_text.rsplit("luminosity_distance = ", 1)[1].split()[0])
+    assert 40.0 < dl < 50.0                 # z=0.01 -> ~44 Mpc
+    # trigger time is the first photometry epoch
+    t0 = float(argv[argv.index("--trigger-time") + 1])
+    assert abs(t0 - 58000.6) < 1e-6
+    # data file is readable by the standard loader
+    from nmma_tpu.io import load_em_observations
+    data = load_em_observations(str(tmp_path / "osg" / "data.dat"))
+    assert set(data.keys()) == {"g", "r"}   # last-char filter convention
+
+    # failure contract: bad prior -> status failure, no raise
+    bad = run_from_skyportal_inputs(
+        {"photometry": str(photo_csv), "prior": "/nonexistent.prior"},
+        outdir=tmp_path / "osg2", invoke=fake_invoke)
+    assert bad["status"] == "failure" and "not found" in bad["message"]
