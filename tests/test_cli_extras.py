@@ -1,0 +1,116 @@
+"""CLI extras: skip-sampling regeneration, complete-config round trip,
+service plots/webhook, --grb-resolution/--jet-type flags."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+PRIOR = "/root/reference/priors/Me2017.prior"
+DATA = "/root/reference/example_files/lightcurves/AT2017gfo.dat"
+TRIGGER = "57982.5285236896"
+
+
+@pytest.fixture(scope="module")
+def ckpt_run(tmp_path_factory):
+    from nmma_tpu.cli.lightcurve_analysis import main
+    outdir = tmp_path_factory.mktemp("ckpt")
+    main(["--model", "Me2017", "--prior", PRIOR,
+          "--light-curve-data", DATA, "--trigger-time", TRIGGER,
+          "--data-tmax", "12.0", "--nlive", "128", "--dlogz", "1.0",
+          "--check-point-delta-t", "0.2",
+          "--outdir", str(outdir), "--label", "ck"])
+    return outdir
+
+
+def test_skip_sampling_regenerates_from_checkpoint(ckpt_run):
+    from nmma_tpu.cli.lightcurve_analysis import main
+    ckpt = ckpt_run / "ck_checkpoint_resume.npz"
+    assert ckpt.exists()
+    first = np.load(ckpt_run / "ck_result.npz")
+    os.remove(ckpt_run / "ck_result.npz")
+    analysis = main(["--model", "Me2017", "--prior", PRIOR,
+                     "--light-curve-data", DATA, "--trigger-time", TRIGGER,
+                     "--data-tmax", "12.0", "--nlive", "128",
+                     "--skip-sampling",
+                     "--outdir", str(ckpt_run), "--label", "ck"])
+    regen = np.load(ckpt_run / "ck_result.npz")
+    assert regen["logz"] == pytest.approx(float(first["logz"]), abs=1e-6)
+    assert analysis.result.ncall == int(first["ncall"])
+
+
+def test_complete_config_roundtrip(ckpt_run):
+    from nmma_tpu.cli.lightcurve_analysis import main
+    ini = ckpt_run / "ck_config_complete.ini"
+    assert ini.exists()
+    text = ini.read_text()
+    assert text.startswith("[config]")
+    assert "nlive = 128" in text
+    # the written ini must parse back through the config-file-first CLI
+    analysis = main([str(ini), "--skip-sampling"])
+    assert analysis is not None
+
+
+def test_skip_sampling_without_checkpoint(tmp_path):
+    from nmma_tpu.cli.lightcurve_analysis import main
+    analysis = main(["--model", "Me2017", "--prior", PRIOR,
+                     "--light-curve-data", DATA, "--trigger-time", TRIGGER,
+                     "--data-tmax", "12.0", "--skip-sampling",
+                     "--outdir", str(tmp_path), "--label", "none"])
+    assert not hasattr(analysis, "result")
+
+
+def test_service_plots_and_webhook(tmp_path):
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from nmma_tpu.api.app import AnalysisService
+
+    received = {}
+
+    class Hook(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received["payload"] = json.loads(self.rfile.read(n))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    hook = HTTPServer(("127.0.0.1", 0), Hook)
+    threading.Thread(target=hook.serve_forever, daemon=True).start()
+    svc = AnalysisService(port=0).start()
+    try:
+        t = np.linspace(0.5, 8, 10)
+        payload = {
+            "model": "Me2017",
+            "prior": "log10_mej = Uniform(minimum=-3, maximum=-1)\n"
+                     "log10_vej = Uniform(minimum=-2, maximum=-0.5)\n"
+                     "beta = 3.0\nlog10_kappa_r = 0.5\n"
+                     "luminosity_distance = 40\n",
+            "photometry": {"ztfg": {"time": t.tolist(),
+                                    "mag": (18 + 0.4 * t).tolist(),
+                                    "mag_error": [0.1] * len(t)}},
+            "nlive": 32, "max_iter": 20, "dlogz": 2.0,
+            "return_plots": True,
+            "callback_url":
+                f"http://127.0.0.1:{hook.server_address[1]}/cb",
+            "outdir": str(tmp_path), "label": "svc",
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{svc.port}/analysis",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            out = json.loads(resp.read())
+        assert out["status"] == "success"
+        assert set(out["plots"]) == {"corner", "lightcurves"}
+        assert len(out["plots"]["corner"]) > 5000        # non-trivial png
+        assert out["webhook_status"] == 200
+        assert received["payload"]["status"] == "success"
+    finally:
+        svc.stop()
+        hook.shutdown()
