@@ -54,9 +54,13 @@ def _me2017_dynamics_kernel(tvec_ref, params_ref, xn0_ref, ltot_ref, rphoto_ref)
     c_tau = msun_cgs / (4.0 * np.pi)
     inv_c = 1.0 / c_cgs
     msun_over_l = msun_cgs / _L_SCALE
-    # loop-invariant hoists
+    # loop-invariant hoists; padding lanes are pre-masked once (dm_eff=0
+    # kills them in the luminosity sum, pad_penalty pushes them out of the
+    # photosphere argmin) so the loop body carries no per-step where(ok)
     m_over_vm = m / vm
     m_over_vm2 = m / (vm * vm)
+    dm_eff = jnp.where(shell_ok, dm * msun_over_l, 0.0)
+    pad_penalty = jnp.where(shell_ok, 0.0, 1e30)
 
     def step(j, ene):
         t_j = tvec_ref[0, j]
@@ -69,15 +73,15 @@ def _me2017_dynamics_kernel(tvec_ref, params_ref, xn0_ref, ltot_ref, rphoto_ref)
         tdiff = (c_tdiff / t_j) * kappa * m_over_vm
         denom = tdiff + (t_j * inv_c) * vm
         lum = ene / denom
-        ltot = jnp.sum(jnp.where(shell_ok, lum * dm, 0.0), axis=1)
+        ltot = jnp.sum(lum * dm_eff, axis=1)
         tau = (c_tau / (t_j * t_j)) * kappa * m_over_vm2
-        tau_dev = jnp.where(shell_ok, jnp.abs(tau - 1.0), 1e30)
+        tau_dev = jnp.abs(tau - 1.0) + pad_penalty
         dev_min = jnp.min(tau_dev, axis=1, keepdims=True)
-        is_min = tau_dev <= dev_min
-        lane_min = jnp.min(jnp.where(is_min, lane, 1e9), axis=1, keepdims=True)
-        first = is_min & (lane <= lane_min)
-        vm_pig = jnp.sum(jnp.where(first, vm, 0.0), axis=1)
-        ltot_ref[pl.ds(j, 1), :] = (ltot * msun_over_l)[None, :]
+        # np.argmin's first-match rule: vm is monotone non-increasing in
+        # lane, so the smallest tied lane carries the largest vm — a
+        # single masked max replaces the lane-index tie-break reductions
+        vm_pig = jnp.max(jnp.where(tau_dev <= dev_min, vm, 0.0), axis=1)
+        ltot_ref[pl.ds(j, 1), :] = ltot[None, :]
         rphoto_ref[pl.ds(j, 1), :] = (vm_pig * t_j)[None, :]
         ene = ene + dt_j * (edot - ene / t_j - lum)
         return ene
