@@ -180,7 +180,10 @@ class EMLikelihood:
         up = (xq - x_l[None, None, :]) / dl[None, None, :]
         dn = (x_r[None, None, :] - xq) / dr[None, None, :]
         hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)          # [F, N, T]
-        est_k = jnp.einsum("fnt,fkt->fkn", hat, clean)         # [F, K, N]
+        # HIGHEST: the TPU MXU's default bf16 multiplies would cost
+        # ~0.05 mag on magnitudes of size ~20-40
+        est_k = jnp.einsum("fnt,fkt->fkn", hat, clean,
+                           precision=jax.lax.Precision.HIGHEST)  # [F, K, N]
 
         valid = jnp.isfinite(rows)                             # [F, K, T]
         n_valid = valid.sum(axis=2)
