@@ -94,8 +94,6 @@ def _single_run(args):
         # with an existing checkpoint, regenerate result artifacts/plots
         # from it without further sampling (reference --skip-sampling
         # semantics, nmma/core/base.py:307-314)
-        import os
-
         from ..inference import NestedSampler
         ckpt = os.path.join(cfg.outdir,
                             f"{cfg.label}_checkpoint_resume.npz")
