@@ -1,0 +1,161 @@
+"""IMRPhenomD / NRTidalv2 waveform validation.
+
+Offline checks (lalsimulation is absent in this environment): known-limit
+values of the remnant fits, TaylorF2 consistency in the early inspiral,
+C1 continuity at the phenomenological joins, NRTidalv2 leading-order PN
+limit, and end-to-end likelihood behavior with the new waveform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmma_tpu.gw import get_waveform, imrphenomd, imrphenomd_nrtidalv2
+from nmma_tpu.gw.phenomd import (_amp_peak_frequency, _kappa2t,
+                                 _phenomd_pieces, final_spin,
+                                 nrtidalv2_phase, phenomd_amplitude_ansatz,
+                                 phenomd_phase, planck_taper, qnm_ringdown,
+                                 radiated_energy, yagi_yunes_quadparam)
+from nmma_tpu.gw.waveforms import _tidal_combinations, taylorf2_tidal
+
+
+def test_final_state_known_limits():
+    # equal-mass nonspinning: af ~ 0.686, Erad ~ 4.8% (Husa+16 fits)
+    np.testing.assert_allclose(float(final_spin(0.25, 0.0, 0.0)),
+                               0.6864, atol=2e-3)
+    np.testing.assert_allclose(float(radiated_energy(0.25, 0.0, 0.0)),
+                               0.0484, atol=5e-4)
+    # test-particle limit: no spin-up, tiny radiated energy
+    assert float(final_spin(1e-3, 0.0, 0.0)) < 0.01
+    assert float(radiated_energy(1e-3, 0.0, 0.0)) < 1e-3
+    # aligned spin raises the remnant spin
+    assert float(final_spin(0.25, 0.9, 0.9)) > float(
+        final_spin(0.25, 0.0, 0.0))
+
+
+def test_qnm_schwarzschild_limit():
+    # a=0: M omega_220 = 0.3737 (Berti+06 tables; their fitting formula
+    # used here reproduces it to ~1.5%)
+    f_ring, f_damp = qnm_ringdown(jnp.array(0.0))
+    np.testing.assert_allclose(2 * np.pi * float(f_ring), 0.3737, rtol=2e-2)
+    # quality factor ~ 2.12 for a=0 -> fdamp = fring / (2 Q)
+    np.testing.assert_allclose(float(f_ring) / float(f_damp), 2 * 2.118,
+                               rtol=2e-2)
+
+
+def test_phenomd_matches_taylorf2_in_inspiral():
+    f = np.linspace(20.0, 40.0, 200)
+    p = dict(mass_1=1.4, mass_2=1.4, luminosity_distance=40.0,
+             theta_jn=0.0, phase=0.0)
+    hp_d, _ = imrphenomd(f, p)
+    hp_t, _ = taylorf2_tidal(f, p)
+    ph_d = np.unwrap(np.angle(np.asarray(hp_d)))
+    ph_t = np.unwrap(np.angle(np.asarray(hp_t)))
+    dph = ph_d - ph_t
+    # time and phase offsets are gauge freedom: remove the best linear fit
+    basis = np.vstack([np.ones_like(f), f]).T
+    resid = dph - basis @ np.linalg.lstsq(basis, dph, rcond=None)[0]
+    assert np.abs(resid).max() < 0.1, np.abs(resid).max()
+    # amplitude agrees with the leading PN amplitude at the few-% level
+    ratio = np.abs(np.asarray(hp_d)) / np.abs(np.asarray(hp_t))
+    assert np.all(np.abs(ratio - 1.0) < 0.05)
+
+
+def test_phase_and_amplitude_c1_continuity():
+    pieces = _phenomd_pieces(jnp.asarray(36.0), jnp.asarray(29.0),
+                             jnp.asarray(0.3), jnp.asarray(-0.2))
+    f_rd = float(pieces["f_rd"])
+    eps = 1e-6
+    for fj in (0.018, 0.5 * f_rd):
+        grid = jnp.array([fj - 2 * eps, fj - eps, fj + eps, fj + 2 * eps])
+        ph = np.asarray(phenomd_phase(grid, pieces)[0])
+        slope_l = (ph[1] - ph[0]) / eps
+        slope_r = (ph[3] - ph[2]) / eps
+        assert abs(ph[2] - ph[1] - slope_l * 2 * eps) < 1e-2 * abs(
+            slope_l * eps) + 1e-3
+        assert abs(slope_r - slope_l) / abs(slope_l) < 1e-2
+    f_pk = float(_amp_peak_frequency(pieces["gam"], pieces["f_rd"],
+                                     pieces["f_damp"]))
+    for fj in (0.014, f_pk):
+        grid = jnp.array([fj - eps, fj + eps])
+        am = np.asarray(phenomd_amplitude_ansatz(grid, pieces))
+        assert np.all(np.isfinite(am)) and np.all(am > 0)
+        assert abs(am[1] - am[0]) < 1e-3 * abs(am[0])
+
+
+def test_nrtidal_leading_order_limit():
+    # Pade -> 1 at x -> 0 must reproduce the TF2 Newtonian tidal term,
+    # via kappa_T = 3/16 lambda_tilde for the leading combination
+    lam1, lam2, m1, m2 = 250.0, 600.0, 1.5, 1.3
+    eta = m1 * m2 / (m1 + m2) ** 2
+    x = jnp.array([1e-5, 1e-4])
+    pt = np.asarray(nrtidalv2_phase(x, m1, m2, lam1, lam2))
+    lam_t, _ = _tidal_combinations(jnp.asarray(lam1), jnp.asarray(lam2),
+                                   jnp.asarray(m1), jnp.asarray(m2))
+    lead = 3.0 / (128.0 * eta) * (-39.0 / 2.0 * float(lam_t)) * \
+        np.asarray(x) ** 2.5
+    np.testing.assert_allclose(pt, lead, rtol=5e-3)
+    # tidal phase is a monotonic phase lag (negative, growing with f)
+    xs = jnp.linspace(1e-4, 0.15, 64)
+    ps = np.asarray(nrtidalv2_phase(xs, m1, m2, lam1, lam2))
+    assert np.all(ps < 0) and np.all(np.diff(ps) < 0)
+
+
+def test_quadrupole_love_relation():
+    # Kerr limit and a catalog anchor: Lambda=1000 -> quadparam ~ 5-6
+    assert float(yagi_yunes_quadparam(jnp.asarray(0.0))) == 1.0
+    q = float(yagi_yunes_quadparam(jnp.asarray(1000.0)))
+    assert 4.0 < q < 8.0, q
+    assert float(yagi_yunes_quadparam(jnp.asarray(100.0))) < q
+
+
+def test_planck_taper_shape():
+    f = jnp.linspace(0.0, 2.0, 101)
+    w = np.asarray(planck_taper(f, 1.0, 1.2))
+    assert np.all(w[f <= 1.0] == 1.0)
+    assert np.all(w[f >= 1.2] == 0.0)
+    mid = w[(np.asarray(f) > 1.0) & (np.asarray(f) < 1.2)]
+    assert np.all((mid > 0) & (mid < 1)) and np.all(np.diff(mid) < 0)
+
+
+def test_nrtidal_waveform_tidal_dephasing_and_taper():
+    f = np.linspace(25.0, 3000.0, 2048)
+    base = dict(mass_1=1.48, mass_2=1.26, luminosity_distance=40.0,
+                theta_jn=0.0, phase=0.0)
+    hp_bbh, _ = imrphenomd_nrtidalv2(f, {**base, "lambda_1": 0.0,
+                                         "lambda_2": 0.0})
+    hp_bns, _ = imrphenomd_nrtidalv2(f, {**base, "lambda_1": 400.0,
+                                         "lambda_2": 400.0})
+    assert np.all(np.isfinite(np.asarray(hp_bns)))
+    # tides dephase at high frequency
+    dph = np.unwrap(np.angle(np.asarray(hp_bns))) - \
+        np.unwrap(np.angle(np.asarray(hp_bbh)))
+    assert abs(dph[-100]) > 1.0
+    # the tapered BNS amplitude dies before the BBH one
+    a_bns = np.abs(np.asarray(hp_bns))
+    assert a_bns[-1] == 0.0
+    k = float(_kappa2t(1.48, 1.26, 400.0, 400.0))
+    assert k > 0
+
+
+def test_waveform_registry_and_likelihood_peak():
+    from nmma_tpu.gw import GWTransientLikelihood, InterferometerData
+    assert get_waveform("IMRPhenomD_NRTidalv2") is imrphenomd_nrtidalv2
+    with pytest.raises(ValueError):
+        get_waveform("nope")
+    inj = dict(mass_1=1.48, mass_2=1.26, lambda_1=300.0, lambda_2=500.0,
+               luminosity_distance=40.0, theta_jn=0.4, phase=1.3,
+               ra=3.446, dec=-0.408, psi=1.5, geocent_time=0.0)
+    ifos = [InterferometerData.zero_noise_injection(
+        n, inj, duration=16.0, f_min=30.0, f_max=512.0,
+        waveform=imrphenomd_nrtidalv2, trigger_time=12345.0)
+        for n in ("H1",)]
+    lk = GWTransientLikelihood(ifos, waveform=imrphenomd_nrtidalv2,
+                               trigger_time=12345.0)
+    logl = float(lk.log_likelihood_ratio(inj))
+    snr = float(lk.optimal_snr(inj))
+    np.testing.assert_allclose(logl, snr ** 2 / 2.0, rtol=2e-3)
+    # the injected parameters beat nearby offsets (likelihood peaks there)
+    assert float(lk.log_likelihood_ratio({**inj, "mass_1": 1.481})) < logl
+    assert float(lk.log_likelihood_ratio({**inj, "lambda_1": 800.0})) < logl
