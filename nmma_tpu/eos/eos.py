@@ -184,7 +184,10 @@ def load_macro_eos_set(path_or_files, mass_grid=_DEFAULT_MASS_GRID,
     for arr in parse_many(files):
         radii.append(arr[:, 0])
         masses.append(arr[:, 1])
-        lambdas.append(arr[:, 2])
+        # two-column (R, M) tables (the reference's sorted/ reweighting
+        # output format) carry no tidal information
+        lambdas.append(arr[:, 2] if arr.shape[1] > 2
+                       else np.zeros(arr.shape[0]))
     return TabulatedEOSSet(radii, masses, lambdas, mass_grid=mass_grid,
                            weights=weights)
 

@@ -182,9 +182,10 @@ def tabulate_weighted_eos(eos_set, constraint, outdir, previous_weights=None,
         i = idx_good[j]
         m = np.asarray(eos_set.mass_grid)
         r = np.asarray(eos_set.radii[i])
+        lam = np.exp(np.asarray(eos_set.log_lambdas[i]))
         keep = r > 0
         np.savetxt(os.path.join(sorted_dir, f"{rank + 1}.dat"),
-                   np.column_stack([r[keep], m[keep]]))
+                   np.column_stack([r[keep], m[keep], lam[keep]]))
     weight_path = os.path.join(outdir, "eos_weights.dat")
     np.savetxt(weight_path, weights[order])
     return weight_path, sorted_dir, int(good.sum()), weights[order]

@@ -1,0 +1,106 @@
+"""Maximum-likelihood fiducial search for relative binning.
+
+The reference builds its relative-binning fiducial from the injection
+(or user-provided fiducial parameters); on real data there is no
+injection, so the fiducial comes from a stochastic maximum-likelihood
+search (VERDICT r1 #4): batched random draws from the prior scored by
+the time+phase(+distance)-marginalized dense likelihood, iteratively
+shrunk around the running best — all vmapped/jit'ed, so each round is a
+single batched TPU call.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .likelihood import GWTransientLikelihood
+
+
+def find_fiducial(interferometers, priors, waveform, trigger_time,
+                  n_rounds=4, batch=256, shrink=0.35, seed=0,
+                  fixed=None, transform=None):
+    """Search the prior volume for a high-likelihood fiducial point.
+
+    Parameters
+    ----------
+    priors : PriorDict
+        sampling priors; the search runs in its unit hypercube.
+    fixed : dict, optional
+        parameters pinned (not searched), e.g. sky location from a map.
+    transform : callable, optional
+        conversion chain applied after the prior transform (e.g.
+        ``MultimessengerConversion``) so joint-analysis priors sampled in
+        chirp-mass/EOS space still produce waveform parameters.
+
+    Returns the best parameter dict (with ``geocent_time`` refined via
+    the time-marginalization FFT peak) and its marginalized logL.
+    """
+    lk = GWTransientLikelihood(
+        interferometers, waveform=waveform, trigger_time=trigger_time,
+        phase_marginalization=True, time_marginalization=True)
+
+    fixed = dict(fixed or {})
+
+    def scalar_logl(u):
+        params = priors.transform(u)
+        params = {**params, **fixed}
+        if transform is not None:
+            params = transform(params)
+        return lk.log_likelihood_ratio(params)
+
+    batched = jax.jit(jax.vmap(scalar_logl))
+    key = jax.random.PRNGKey(seed)
+    ndim = priors.ndim
+
+    key, sub = jax.random.split(key)
+    u = jax.random.uniform(sub, (batch, ndim), minval=1e-4, maxval=1 - 1e-4)
+    logls = np.asarray(batched(u))
+    logls = np.nan_to_num(logls, nan=-np.inf)
+    best_u = np.asarray(u)[int(np.argmax(logls))]
+    best_logl = float(np.max(logls))
+
+    width = 0.5
+    for _ in range(n_rounds):
+        width *= shrink
+        key, sub = jax.random.split(key)
+        prop = best_u[None, :] + width * np.asarray(
+            jax.random.normal(sub, (batch, ndim)))
+        prop = np.clip(prop, 1e-4, 1 - 1e-4)
+        logls = np.nan_to_num(np.asarray(batched(jnp.asarray(prop))),
+                              nan=-np.inf)
+        i = int(np.argmax(logls))
+        if logls[i] > best_logl:
+            best_logl = float(logls[i])
+            best_u = prop[i]
+
+    best = dict(priors.transform(jnp.asarray(best_u)))
+    best.update(fixed)
+    if transform is not None:
+        best = transform(best)
+    params = {k: float(np.asarray(v)) for k, v in best.items()
+              if np.ndim(np.asarray(v)) == 0}
+    params["geocent_time"] = params.get("geocent_time", 0.0) + \
+        _time_peak(lk, params)
+    return params, best_logl
+
+
+def _time_peak(lk, parameters):
+    """Coalescence-time offset maximizing |<d|h>(dt)| (FFT peak)."""
+    dh_t = jnp.zeros(lk._tm_idx.shape[0], dtype=jnp.complex64)
+    for i, df in enumerate(lk._df):
+        h_w = lk._whitened_template(i, parameters)
+        d_re, d_im = lk._white_data[i]
+        integrand = 4.0 * df * jnp.conj(d_re + 1j * d_im) * h_w
+        padded = jnp.zeros(lk._tm_n[i], dtype=integrand.dtype)
+        padded = padded.at[lk._tm_offsets[i]:
+                           lk._tm_offsets[i] + integrand.shape[0]].set(
+            integrand)
+        dh_t = dh_t + jnp.take(jnp.fft.fft(padded), lk._tm_idx)
+    k = int(np.argmax(np.abs(np.asarray(jnp.abs(dh_t)))))
+    n = lk._tm_n[0]
+    dur = lk.ifos[0].duration
+    idx = int(np.asarray(lk._tm_idx)[k])
+    dt = idx / n * dur
+    return dt - dur if dt > dur / 2 else dt
