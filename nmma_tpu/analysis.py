@@ -102,8 +102,26 @@ class EMAnalysis:
         constraint = self.priors.constraint_log_prob(params)
         return jnp.where(jnp.isfinite(constraint), logl, -1e30)
 
+    # largest single-dispatch batch: the dense interpolation intermediate
+    # is [B, F, N, T]; past ~2 GiB a buffer silently corrupts on the
+    # current TPU runtime (int32 linearised indexing), observed at
+    # B > 8192 on the AT2017gfo 9-filter config — so bigger batches are
+    # split into sequential sub-launches of this size
+    MAX_DISPATCH_BATCH = 8192
+
     def batched_logl(self, u_batch):
-        return self._batched_logl(u_batch)
+        b = u_batch.shape[0]
+        cap = self.MAX_DISPATCH_BATCH
+        if b <= cap:
+            return self._batched_logl(u_batch)
+        n_chunks = -(-b // cap)
+        pad = n_chunks * cap - b
+        padded = jnp.concatenate(
+            [u_batch, jnp.full((pad, u_batch.shape[1]), 0.5,
+                               dtype=u_batch.dtype)]) if pad else u_batch
+        out = jax.lax.map(self._batched_logl,
+                          padded.reshape(n_chunks, cap, -1))
+        return out.reshape(-1)[:b]
 
     # -- driver -------------------------------------------------------------
     def run(self, verbose=True, checkpoint=True):

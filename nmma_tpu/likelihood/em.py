@@ -136,6 +136,7 @@ class EMLikelihood:
         self._helper_rows = np.asarray(rows)          # [F, K]
         self._helper_weights = np.asarray(weights)    # [F, K]
 
+
         # detection limits per observed filter (reference :303-304)
         if detection_limit is None:
             detection_limit = np.inf

@@ -74,8 +74,107 @@ class SVDModelData:
             w1=z["w1"], b1=z["b1"], w2=z["w2"], b2=z["b2"])
 
 
+class _SVDFastEval:
+    """Fused surrogate evaluator: the MLP output layer, SVD basis
+    reconstruction, min-max denormalisation, and interpolation onto a
+    *static* time grid are all linear in the hidden activations, so they
+    fold into ONE precomputed block-diagonal operator
+
+        mags[f, q] = relu(x . W1_flat)[f*H:(f+1)*H] . W_out + offset
+
+    — two dense matmuls per call that vmap into [B, P] @ [P, F*H] and
+    [B, F*H] @ [F*H, F*Q] (clean MXU shapes; the einsum formulation this
+    replaces lowered to batch-middle dot_generals ~30x slower on TPU).
+    """
+
+    def __init__(self, svd: SVDModelData, mag_ncoeff=None):
+        n_c = svd.n_coeff if mag_ncoeff is None else min(mag_ncoeff,
+                                                         svd.n_coeff)
+        f, t, _ = svd.va.shape
+        p, h = svd.w1.shape[1:]
+        self.F, self.H = f, h
+        # keep everything as host numpy: values created with jnp inside a
+        # trace would be staged as tracers and leak through the cache
+        self.param_mins = np.asarray(svd.param_mins, dtype=np.float32)
+        self.param_maxs = np.asarray(svd.param_maxs, dtype=np.float32)
+        self.parameter_names = svd.parameter_names
+        self.w1_flat = np.ascontiguousarray(
+            svd.w1.transpose(1, 0, 2)).reshape(p, f * h).astype(np.float32)
+        self.b1_flat = np.asarray(svd.b1.reshape(f * h), dtype=np.float32)
+        va = np.asarray(svd.va[..., :n_c], dtype=np.float64)
+        w2 = np.asarray(svd.w2[..., :n_c], dtype=np.float64)
+        b2 = np.asarray(svd.b2[..., :n_c], dtype=np.float64)
+        scale = np.asarray(svd.maxs - svd.mins, dtype=np.float64)
+        # output operator with denorm folded in: m = h . vtw + voff [F,T]
+        self._vtw = np.einsum("fhc,ftc->fht", w2, va) * scale[:, None, :]
+        self._voff = np.einsum("fc,ftc->ft", b2, va) * scale + svd.mins
+        self._grid = np.asarray(svd.tt, dtype=np.float64)
+        self._ops = {}
+
+    def operator(self, t_days):
+        """(W [F*H, F*Q], offset [F*Q], inside [Q]) for a static grid."""
+        tq = np.asarray(t_days, dtype=np.float64)
+        key = (tq.shape, tq.tobytes())
+        hit = self._ops.get(key)
+        if hit is not None:
+            return hit
+        grid = self._grid
+        t = len(grid)
+        q = len(tq)
+        pos = np.clip(np.searchsorted(grid, tq, side="right") - 1, 0, t - 2)
+        frac = (tq - grid[pos]) / (grid[pos + 1] - grid[pos])
+        wi = np.zeros((t, q))
+        np.add.at(wi, (pos, np.arange(q)), 1.0 - frac)
+        np.add.at(wi, (pos + 1, np.arange(q)), frac)
+        inside = (tq >= grid[0]) & (tq <= grid[-1])
+        f, h = self.F, self.H
+        w_out = np.zeros((f * h, f * q), dtype=np.float32)
+        offset = np.zeros(f * q, dtype=np.float32)
+        for fi in range(f):
+            w_out[fi * h:(fi + 1) * h, fi * q:(fi + 1) * q] = \
+                self._vtw[fi] @ wi
+            offset[fi * q:(fi + 1) * q] = self._voff[fi] @ wi
+        entry = (w_out, offset, inside)
+        self._ops[key] = entry
+        return entry
+
+    def __call__(self, params, t_days):
+        theta = jnp.stack([jnp.asarray(params[p])
+                           for p in self.parameter_names])
+        x = (theta - self.param_mins) / (self.param_maxs - self.param_mins)
+        hid = jax.nn.relu(x @ self.w1_flat + self.b1_flat)       # [F*H]
+        w_out, offset, inside = self.operator(t_days)
+        m = (hid @ w_out + offset).reshape(self.F, -1)           # [F, Q]
+        # beyond the trained time range the surrogate is not trusted:
+        # inf fill (reference FIXME at lightcurve_generation.py:174-176)
+        return jnp.where(inside[None, :], m, jnp.inf)
+
+
+_FAST_EVALS: dict = {}
+
+
+def _fast_eval(svd: SVDModelData, mag_ncoeff=None) -> _SVDFastEval:
+    key = (id(svd), mag_ncoeff)
+    entry = _FAST_EVALS.get(key)
+    # the cached entry keeps `svd` alive, so the id cannot be recycled
+    if entry is None or entry[0] is not svd:
+        entry = (svd, _SVDFastEval(svd, mag_ncoeff))
+        _FAST_EVALS[key] = entry
+    return entry[1]
+
+
 def svd_surrogate_mags(svd: SVDModelData, params, t_days, mag_ncoeff=None):
-    """Evaluate the stacked surrogate -> [F, T_out] absolute magnitudes."""
+    """Evaluate the stacked surrogate -> [F, T_out] absolute magnitudes.
+
+    Fast path: static (concrete) ``t_days`` uses the fused block-diagonal
+    operator. Traced ``t_days`` (per-sample detector-frame grids) falls
+    back to the masked-interpolation formulation.
+    """
+    try:
+        return _fast_eval(svd, mag_ncoeff)(params, t_days)
+    except jax.errors.TracerArrayConversionError:
+        pass
+
     theta = jnp.stack([jnp.asarray(params[p]) for p in svd.parameter_names])
     x = (theta - svd.param_mins) / (svd.param_maxs - svd.param_mins)  # [P]
 
@@ -90,8 +189,6 @@ def svd_surrogate_mags(svd: SVDModelData, params, t_days, mag_ncoeff=None):
     m = jnp.einsum("ftc,fc->ft", jnp.asarray(va), c)            # [F, T_svd]
     m = m * (svd.maxs - svd.mins) + svd.mins
 
-    # beyond the trained time range the surrogate is not trusted:
-    # inf fill (reference FIXME at lightcurve_generation.py:174-176)
     def interp_one(row):
         return masked_interp_sorted_fill(t_days, jnp.asarray(svd.tt), row,
                                          jnp.inf)
