@@ -18,9 +18,10 @@ Sari-Piran-Narayan (1998) synchrotron theory from the published physics:
   relativistic Doppler boosting delta^3, and flux in mJy.
 
 Everything is static-shape: [n_theta x n_phi] surface elements times a
-log R grid, vmappable over live-point batches. Lateral spreading is not
-yet modelled (afterglowpy's spread=True refinement) — post-jet-break
-slopes are steeper in reality; tracked for a later round.
+log R grid, vmappable over live-point batches. Lateral spreading follows
+the sound-speed conical-expansion model (Huang et al. 2000) and is ON by
+default, matching afterglowpy's spread=True default in the reference's
+TrPi2018 calls; pass spread=False (parameter or kwarg) to disable.
 """
 
 from __future__ import annotations
@@ -42,9 +43,11 @@ _SIGMA_T = 6.6524587321e-25   # cm^2
 _MPC_CM = 3.0856775814913673e24
 _MJY = 1e-26                  # erg/s/cm^2/Hz
 
-N_THETA = 24
+# default resolutions: doubling any axis moves magnitudes < 0.006 on the
+# GW170817 benchmark config (< 0.03 on-axis); see tests/test_grb.py
+N_THETA = 32
 N_PHI = 24
-N_R = 160
+N_R = 256
 
 JET_TOPHAT = -1
 JET_GAUSSIAN = 0
@@ -63,7 +66,9 @@ def _energy_profile(theta, e0, theta_core, theta_wing, b, jet_type):
     raise ValueError(f"unknown jet type {jet_type}")
 
 
-def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN):
+def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
+                               jet_type=JET_GAUSSIAN, n_theta=N_THETA,
+                               n_phi=N_PHI, n_r=N_R, spread=None):
     """Observed flux density [mJy] on a (time, frequency) grid.
 
     Parameters (afterglowpy naming, nmma/em/model.py:39-53): log10_E0
@@ -71,6 +76,11 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
     inclination_EM (viewing angle), log10_n0 [cm^-3], p,
     log10_epsilon_e, log10_epsilon_B, xi_N, luminosity_distance [Mpc],
     b (power-law jets), redshift.
+
+    ``spread`` toggles sound-speed lateral spreading (default True, the
+    afterglowpy default); ``n_theta``/``n_phi``/``n_r`` set the surface /
+    radial grids (doubling them is the convergence check, see
+    tests/test_grb.py).
 
     Returns [F, T] flux densities.
     """
@@ -99,7 +109,7 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
         theta_max = theta_wing
 
     # ring grid (cell centres) and energy profile
-    theta_edges = jnp.linspace(0.0, 1.0, N_THETA + 1) ** 1.3 * theta_max
+    theta_edges = jnp.linspace(0.0, 1.0, n_theta + 1) ** 1.3 * theta_max
     theta = 0.5 * (theta_edges[1:] + theta_edges[:-1])             # [Th]
     d_cos = -jnp.diff(jnp.cos(theta_edges))                        # [Th]
     e_iso50 = _energy_profile(theta, e0, theta_core, theta_wing, b_pl,
@@ -116,7 +126,7 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
     t_max_b = jnp.max(jnp.asarray(t_obs_day)) * seconds_a_day * 200.0
     r_max = c_cgs * t_max_b
     r_min = r_dec * 1e-3
-    frac = jnp.arange(N_R) / (N_R - 1)
+    frac = jnp.arange(n_r) / (n_r - 1)
     r_grid = r_min * jnp.power(r_max / r_min, frac)                # [R]
 
     # (Gamma beta)^2 = E_iso / (M_sw c^2), M_sw = 4 pi/3 n mp R^3.
@@ -167,20 +177,41 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
     integral = jnp.where(jnp.abs(one_m_q) > 1e-3, powerlaw, log_case)
     e_inj50 = jnp.maximum(
         jnp.where(l0_50 > 0.0, l0_50 * ts_inj * integral, 0.0), 0.0)
-    # 2) optional lateral spreading (opt-in; the unspread dynamics
-    #    reproduce the observed GW170817 morphology better under this
-    #    ring-independent approximation): rings widen once Gamma < 1/theta,
-    #    inflating the swept mass by (theta_eff/theta)^2
-    if params.get("spread", False):
-        inv_gamma = 1.0 / gamma                                    # [Th, R]
+    # 2) lateral spreading (default ON, matching afterglowpy's spread=True
+    #    default in the reference's TrPi2018 calls): sound-speed conical
+    #    expansion after Huang, Gou, Dai & Lu (2000) —
+    #        dtheta/dlnR = c_s / (Gamma beta c),
+    #    with the relativistic-gas sound speed
+    #        c_s^2/c^2 = ghat(ghat-1)(Gamma-1) / (1 + ghat(Gamma-1)),
+    #        ghat = (4 Gamma + 1)/(3 Gamma),
+    #    so spreading is 1/Gamma-suppressed while ultrarelativistic and
+    #    freezes in the non-relativistic limit. The widened ring dilutes
+    #    its energy over the swept solid angle, inflating the effective
+    #    swept mass by (1 - cos theta_eff)/(1 - cos theta) — the origin
+    #    of the post-jet-break steepening. Emission stays on the original
+    #    ring geometry (energy-dilution approximation).
+    spread_on = spread if spread is not None else params.get("spread", True)
+    if spread_on:
+        ghat = (4.0 * gamma + 1.0) / (3.0 * gamma)
+        cs2 = (ghat * (ghat - 1.0) * (gamma - 1.0)) / \
+            (1.0 + ghat * (gamma - 1.0))
+        cs = jnp.sqrt(jnp.clip(cs2, 0.0, 1.0 / 3.0))
+        dlnr = jnp.log(r_grid[1] / r_grid[0])
+        # causal gate (van Eerten & MacFadyen 2012 prescription): the jet
+        # edge starts spreading once Gamma < 1/theta_jet; inner rings are
+        # not independent cones — they rescale conformally with the edge,
+        # so every ring's solid angle inflates by the same
+        # (theta_edge_eff / theta_edge)^2 factor, driven by its own
+        # deceleration history (wings decelerate and spread first).
+        gate = (gamma * theta_max < 1.0)
+        integrand = jnp.where(gate, cs / jnp.maximum(gamma * beta, 1e-6),
+                              0.0)                         # dtheta/dlnR
         dtheta = jnp.concatenate([
-            jnp.zeros((N_THETA, 1)),
-            jnp.cumsum(jnp.where(
-                inv_gamma[:, :-1] > theta[:, None],
-                (dr / r_grid[:-1])[None, :] * inv_gamma[:, :-1],
-                0.0), axis=1)], axis=1)
-        theta_eff = jnp.minimum(theta[:, None] + dtheta, jnp.pi / 2.0)
-        spread_factor = (theta_eff / theta[:, None]) ** 2
+            jnp.zeros((n_theta, 1)),
+            jnp.cumsum(0.5 * (integrand[:, 1:] + integrand[:, :-1]),
+                       axis=1) * dlnr], axis=1)
+        edge_eff = jnp.minimum(theta_max + dtheta, jnp.pi / 2.0)
+        spread_factor = (edge_eff / theta_max) ** 2
     else:
         spread_factor = 1.0
 
@@ -231,7 +262,7 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
 
     # EATS: per (ring, phi) element resample dynamics at the burster time
     # solving t_obs = (1+z)(t_b - mu R / c)
-    phi = (jnp.arange(N_PHI) + 0.5) / N_PHI * jnp.pi               # [Ph]
+    phi = (jnp.arange(n_phi) + 0.5) / n_phi * jnp.pi               # [Ph]
     mu = (jnp.cos(theta_v) * jnp.cos(theta)[:, None]
           + jnp.sin(theta_v) * jnp.sin(theta)[:, None]
           * jnp.cos(phi)[None, :])                                 # [Th, Ph]
@@ -303,11 +334,11 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params, jet_type=JET_GAUSSIAN)
     def ring(th_idx):
         def one_phi(ph_idx):
             return element_flux(th_idx, mu[th_idx, ph_idx])
-        contrib = jax.vmap(one_phi)(jnp.arange(N_PHI))             # [Ph, F, T]
+        contrib = jax.vmap(one_phi)(jnp.arange(n_phi))             # [Ph, F, T]
         # phi in [0, pi] with mirror symmetry: weight 2 dphi/(2 pi) of dOmega
-        return jnp.sum(contrib, axis=0) * (2.0 / N_PHI / 2.0) * d_cos[th_idx]
+        return jnp.sum(contrib, axis=0) * (2.0 / n_phi / 2.0) * d_cos[th_idx]
 
-    flux50 = jax.vmap(ring)(jnp.arange(N_THETA))                   # [Th, F, T]
+    flux50 = jax.vmap(ring)(jnp.arange(n_theta))                   # [Th, F, T]
     # F[mJy] = sum * 1e50 / (4 pi dL^2) / 1e-26; dL^2 (~1e53 cm^2)
     # overflows f32, so scale distance as dL26 = dL/1e26 cm
     d_l26 = d_l * 1e-26
@@ -337,7 +368,8 @@ def _synchrotron_shape(nu, nu_m, nu_c, p):
 
 
 def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN,
-                  grb_resolution=12.0):
+                  grb_resolution=12.0, n_theta=N_THETA, n_phi=N_PHI,
+                  n_r=N_R, spread=None):
     """TrPi2018 absolute-magnitude rows [F, T].
 
     Matches the reference's flux path (``afterglowpy_lc``,
@@ -385,7 +417,9 @@ def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN,
     t_grid = t_start * jnp.power(t_end / t_start, frac)
 
     mjys = grb_afterglow_flux_density(t_grid, nu_obs, p,
-                                      jet_type=jet_type)           # [F, Tg]
+                                      jet_type=jet_type, n_theta=n_theta,
+                                      n_phi=n_phi, n_r=n_r,
+                                      spread=spread)               # [F, Tg]
     mags_grid = flux_to_ab_mag(mjys, unit="mJy")
     log_tq = jnp.log(t_days)
     log_tg = jnp.log(t_grid)
