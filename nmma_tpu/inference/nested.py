@@ -117,13 +117,28 @@ class NestedSampler:
     """
 
     def __init__(self, logl_fn: Callable, ndim: int,
-                 config: NestedSamplerConfig = NestedSamplerConfig()):
+                 config: NestedSamplerConfig = NestedSamplerConfig(),
+                 mesh=None):
         self.logl_fn = logl_fn
         self.ndim = ndim
         self.config = config
+        self.mesh = mesh
         self._decr = jnp.asarray(_volume_decrements(config.nlive,
                                                     config.n_delete))
-        self._chunk_fn = jax.jit(self._run_chunk)
+        if mesh is not None:
+            # explicit shardings: live arrays split on the batch axis,
+            # everything else replicated — the jit is told the layout
+            # instead of inferring it from input placement
+            from ..parallel.mesh import state_shardings
+            s_state = state_shardings(self, mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            s_chunk = DeadChunk(u=rep, logl=rep, logw=rep, log_x=rep)
+            self._chunk_fn = jax.jit(self._run_chunk,
+                                     in_shardings=(s_state,),
+                                     out_shardings=(s_state, s_chunk))
+        else:
+            self._chunk_fn = jax.jit(self._run_chunk)
 
     # ------------------------------------------------------------------
     def init_state(self, key=None) -> NSState:
@@ -176,12 +191,24 @@ class NestedSampler:
         thresh_eff = jnp.where(threshold <= NEG_INF * 0.99, -jnp.inf,
                                threshold)
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            chain_sharding = NamedSharding(self.mesh,
+                                           P(self.mesh.axis_names[0]))
+        else:
+            chain_sharding = None
+
         def step(carry, step_key):
             u, logl, acc = carry
             z = jax.random.normal(step_key, (n_k, self.ndim))
             prop = u + scale * step_norm * (z @ chol.T)
             in_cube = jnp.all((prop > 0.0) & (prop < 1.0), axis=1)
             prop = jnp.clip(prop, 1e-7, 1.0 - 1e-7)
+            if chain_sharding is not None:
+                # the proposal batch is the compute axis: pin it to the
+                # mesh so the likelihood fans out over all devices
+                prop = jax.lax.with_sharding_constraint(prop,
+                                                        chain_sharding)
             logl_prop = self.logl_fn(prop)
             ok = in_cube & (logl_prop > thresh_eff)
             u_new = jnp.where(ok[:, None], prop, u)
@@ -197,11 +224,13 @@ class NestedSampler:
         cfg = self.config
         n_k = cfg.n_delete
 
-        # 1. worst K points (ascending logL)
-        order = jnp.argsort(state.logl_live)
-        dead_idx = order[:n_k]
+        # 1. worst K points (ascending logL): top-k of the negated values
+        # instead of a full argsort — O(nlive log K) and, when the live
+        # axis is sharded, a per-shard top-k + K-sized all-gather instead
+        # of an all-gather of the whole live set
+        neg_topk, dead_idx = jax.lax.top_k(-state.logl_live, n_k)
         dead_u = state.u_live[dead_idx]
-        dead_logl = state.logl_live[dead_idx]
+        dead_logl = -neg_topk                         # ascending logL
         threshold = dead_logl[-1]                     # K-th smallest
 
         # 2. volume bookkeeping (sequential shrinkage, trapezoid weights)
@@ -220,11 +249,31 @@ class NestedSampler:
             logz_new
         h_new = jnp.where(jnp.isfinite(h_new), h_new, state.h_info)
 
-        # 3. refill via constrained random walks from surviving points
+        # evidence-variance accumulation (dynesty's recursion:
+        # d var(lnZ) = 2 dH dlnX per shrinkage step). While dead points
+        # still carry the -1e30 sentinel, H swings by ~1e30 — those
+        # transients are excluded (the classic sqrt(H/nlive) fallback in
+        # _finalise covers degenerate runs).
+        dh = h_new - state.h_info
+        dlnx = jnp.sum(self._decr)
+        sane = jnp.isfinite(dh) & (jnp.abs(dh) < 1e6) & \
+            (dead_logl[0] > NEG_INF * 0.99)
+        logzvar_new = state.logzvar + jnp.where(
+            sane, 2.0 * jnp.maximum(dh, 0.0) * dlnx, 0.0)
+
+        # 3. refill via constrained random walks from surviving points.
+        # Without the full sort order, survivors are found by drawing
+        # uniform indices and re-drawing (twice) on collision with a dead
+        # point; the argmax point is the always-valid fallback (collision
+        # probability after two redraws: (K/nlive)^3).
         key, k_start, k_walk = jax.random.split(state.key, 3)
-        survivor_idx = order[n_k:]
-        start = survivor_idx[jax.random.randint(k_start, (n_k,), 0,
-                                                cfg.nlive - n_k)]
+        draws = jax.random.randint(k_start, (3, n_k), 0, cfg.nlive)
+        alive = state.logl_live > threshold
+        best = jnp.argmax(state.logl_live)
+        start = jnp.full((n_k,), best)
+        for attempt in (2, 1, 0):
+            cand = draws[attempt]
+            start = jnp.where(alive[cand], cand, start)
         u_new, logl_new, acc, n_prop = self._replace_batch(
             k_walk, state.u_live, state.logl_live, threshold, state.scale,
             start)
@@ -242,7 +291,7 @@ class NestedSampler:
         new_state = NSState(
             u_live=u_live, logl_live=logl_live,
             log_x=log_x_after[-1], logz=logz_new,
-            logzvar=state.logzvar, h_info=h_new,
+            logzvar=logzvar_new, h_info=h_new,
             scale=new_scale,
             n_accept=state.n_accept + acc,
             n_propose=state.n_propose + n_prop,
@@ -293,7 +342,7 @@ class NestedSampler:
         cur_it = int(jax.device_get(state.it))
         ncall_0 = int(jax.device_get(state.n_call))
         profiled = False
-        while cur_it * cfg.n_delete < cfg.max_iter * cfg.n_delete:
+        while cur_it < cfg.max_iter:
             if cfg.profile_dir and not profiled and cur_it > 0:
                 # profile the second chunk (first carries compile)
                 with jax.profiler.trace(cfg.profile_dir):
@@ -366,7 +415,13 @@ class NestedSampler:
 
         logz = float(np.logaddexp.reduce(logw))
         h = float(state.h_info)
-        logz_err = float(np.sqrt(max(h, 0.0) / cfg.nlive))
+        # accumulated dynesty-style variance; classic sqrt(H/nlive) as the
+        # fallback when the recursion is degenerate
+        lzvar = float(state.logzvar)
+        if np.isfinite(lzvar) and lzvar > 0.0:
+            logz_err = float(np.sqrt(lzvar))
+        else:
+            logz_err = float(np.sqrt(max(h, 0.0) / cfg.nlive))
         return NestedSamplerResult(
             samples_u=samples_u, logl=logl, logw=logw, logz=logz,
             logz_err=logz_err, ncall=int(state.n_call),

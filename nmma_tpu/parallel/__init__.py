@@ -1,3 +1,5 @@
-from .mesh import live_point_sharding, make_mesh, shard_state
+from .mesh import (initialize_distributed, live_point_sharding,
+                   make_mesh, shard_state, state_shardings)
 
-__all__ = ["make_mesh", "live_point_sharding", "shard_state"]
+__all__ = ["make_mesh", "live_point_sharding", "shard_state",
+           "state_shardings", "initialize_distributed"]
