@@ -1,0 +1,178 @@
+"""Posterior parity against the reference's own artifacts (VERDICT r1 #3).
+
+The environment cannot run the reference (bilby/pymultinest absent), so
+"reference posterior" means the artifact the reference ships — the real
+joint GW+KN+GRB posterior ``tests/data/GW+KN+GRB_posterior`` — combined
+with a float64 NumPy oracle of the reference's own resampling math
+(``nmma/post_processing/maximum_mass_constraint.py:76-216``): exact
+draws from the Gaussian-KDE prior filtered by the prompt-collapse
+constraint. The TPU pipeline (jnp KDE + vectorized nested sampler) must
+reproduce that posterior to JS < 0.01 per parameter — the BASELINE
+criterion.
+"""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from nmma_tpu.post_processing.kde import GaussianKDE
+from nmma_tpu.post_processing.parity import (js_divergence_1d,
+                                             posterior_js_divergences)
+
+DATA = "/root/reference/nmma/tests/data"
+POSTERIOR = f"{DATA}/GW+KN+GRB_posterior"
+KEYS = ("chirp_mass", "eta_star", "EOS", "log10_mdisk", "log10_mej_dyn")
+
+
+@pytest.fixture(scope="module")
+def reference_posterior():
+    df = pd.read_csv(POSTERIOR, sep=r"\s+")
+    assert set(KEYS) <= set(df.columns)
+    return {k: df[k].to_numpy() for k in KEYS}
+
+
+def test_kde_matches_scipy(reference_posterior):
+    """Our jittable Gaussian KDE equals scipy.stats.gaussian_kde (the
+    reference's estimator) on the real posterior samples."""
+    from scipy.stats import gaussian_kde
+    pts = np.column_stack([reference_posterior[k] for k in KEYS])
+    ours = GaussianKDE(pts)
+    theirs = gaussian_kde(pts.T)
+    query = pts[:: max(len(pts) // 64, 1)].T
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(ours.logpdf)(np.asarray(query.T))),
+        theirs.logpdf(query), rtol=1e-4, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def resampler(reference_posterior):
+    from nmma_tpu.post_processing.maximum_mass import MaximumMassResampler
+    return MaximumMassResampler(reference_posterior,
+                                eos_path_macro=f"{DATA}/eos_macro",
+                                eos_path_micro=f"{DATA}/eos_micro")
+
+
+def _oracle_posterior(resampler, reference_posterior, n=400_000, seed=0):
+    """f64 NumPy importance-free oracle: exact KDE draws, filtered by the
+    prior box and the reference's collapse constraint."""
+    rng = np.random.default_rng(seed)
+    pts = np.column_stack([reference_posterior[k] for k in KEYS])
+    kde = resampler.kde
+    centres = pts[rng.integers(0, len(pts), n)]
+    draws = centres + rng.standard_normal((n, 5)) @ np.asarray(kde._chol).T
+
+    box = np.ones(n, dtype=bool)
+    for j, k in enumerate(KEYS):
+        prior = resampler.priors[k]
+        box &= (draws[:, j] >= prior.minimum) & (draws[:, j] <= prior.maximum)
+    d = draws[box]
+
+    mc, eta_star, eos, log10_mdisk, log10_mej = d.T
+    eta = 0.25 - np.exp(eta_star)
+    q = (1 - np.sqrt(np.maximum(1 - 4 * eta, 0.0)) - 2 * eta) / (2 * eta)
+    total = mc / eta ** 0.6
+    m1 = total / (1 + q)
+    m2 = total * q / (1 + q)
+    idx = np.clip(np.floor(eos).astype(int), 0, resampler.n_eos - 1)
+    grid = np.asarray(resampler.mass_grid)
+    tables = np.asarray(resampler.mb_tables)
+    b1 = np.array([np.interp(a, grid, tables[i]) for a, i in zip(m1, idx)])
+    b2 = np.array([np.interp(a, grid, tables[i]) for a, i in zip(m2, idx)])
+    m_rem_b = b1 + b2 - 10.0 ** log10_mdisk - 10.0 ** log10_mej
+    keep = np.asarray(resampler.mb_tov)[idx] <= m_rem_b
+    kept = d[keep]
+    return {k: kept[:, j] for j, k in enumerate(KEYS)}
+
+
+def test_maximum_mass_parity_vs_reference_artifact(resampler,
+                                                   reference_posterior):
+    """TPU resampling posterior vs the f64 oracle on the REAL reference
+    artifact: JS divergence < 0.01 per parameter (BASELINE criterion)."""
+    oracle = _oracle_posterior(resampler, reference_posterior)
+    n_keep = len(oracle["chirp_mass"])
+    assert n_keep > 5_000, n_keep
+
+    _, post = resampler.run(nlive=768, dlogz=0.05, walks=16, chunk_size=10,
+                            max_iter=800)
+    assert len(post["chirp_mass"]) > 1_000
+
+    js = posterior_js_divergences(post, oracle, parameters=list(KEYS))
+    print("JS vs reference-artifact oracle:", {k: round(v, 4)
+                                               for k, v in js.items()})
+    for k, v in js.items():
+        assert v < 0.01, (k, v)
+
+
+def test_constraint_actually_informative(resampler, reference_posterior):
+    """The collapse constraint must reshape the EOS marginal (guards the
+    parity test against a trivially-unconstrained configuration)."""
+    oracle = _oracle_posterior(resampler, reference_posterior, n=100_000)
+    prior_eos = reference_posterior["EOS"]
+    js = js_divergence_1d(oracle["EOS"], prior_eos)
+    assert js > 1e-3, js
+
+
+def test_trpi2018_pinned_prior_roundtrip():
+    """The reference's pinned-parameter TrPi2018 config
+    (tests/data/TrPi2018_pinned_parameters.prior) parses unmodified and
+    round-trips through injection synthesis vs direct model evaluation to
+    rtol 1e-3 (the reference's own consistency criterion,
+    nmma/tests/injections.py:176-216)."""
+    import jax.numpy as jnp
+
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.models import DetectorLightCurveModel
+    from nmma_tpu.ops.interp import masked_interp_sorted_fill
+    from nmma_tpu.priors import load_prior_file
+
+    priors = load_prior_file(f"{DATA}/TrPi2018_pinned_parameters.prior")
+    assert priors.ndim == 0        # everything pinned to delta functions
+    params = {k: float(np.asarray(v))
+              for k, v in priors.transform(np.zeros((0,))).items()}
+    assert params["log10_E0"] == 50.0
+    np.testing.assert_allclose(params["thetaCore"], 0.7, rtol=1e-6)
+
+    grid = np.geomspace(0.1, 40.0, 60)
+    filters = ["ztfg", "ztfr"]
+    data = create_light_curve_data(params, "TrPi2018", filters,
+                                   sample_times=grid, seed=0,
+                                   injection_error_budget=1e-9)
+    model = DetectorLightCurveModel("TrPi2018", filters, sample_times=grid)
+    obs_t, mags = model(params)
+    # this deliberately pathological corner (p=7, eps_e=1e-9, n0=1e10)
+    # yields ~1e-50 mJy fluxes: finite ~150-mag values in the reference's
+    # f64 pipeline, inf after f32 underflow here — the consistency
+    # criterion is that both paths agree exactly, including the mask
+    for i, f in enumerate(filters):
+        direct = np.asarray(masked_interp_sorted_fill(
+            jnp.asarray(data[f]["time"]), obs_t, mags[i], jnp.inf))
+        got = data[f]["mag"]
+        np.testing.assert_array_equal(np.isfinite(direct),
+                                      np.isfinite(got))
+        sel = np.isfinite(direct) & np.isfinite(got)
+        if sel.sum():
+            np.testing.assert_allclose(got[sel], direct[sel], rtol=1e-3,
+                                       atol=1e-3)
+
+    # the same round-trip at a physical GRB170817A-like configuration
+    # must agree on finite magnitudes (reference rtol 1e-3)
+    phys = dict(params, log10_n0=-2.7, p=2.17, log10_epsilon_e=-1.4,
+                log10_epsilon_B=-4.0, inclination_EM=0.4, thetaCore=0.066,
+                thetaWing=0.47, luminosity_distance=40.0)
+    data = create_light_curve_data(phys, "TrPi2018", filters,
+                                   sample_times=grid, seed=0,
+                                   injection_error_budget=1e-9)
+    obs_t, mags = DetectorLightCurveModel("TrPi2018", filters,
+                                          sample_times=grid)(phys)
+    for i, f in enumerate(filters):
+        direct = np.asarray(masked_interp_sorted_fill(
+            jnp.asarray(data[f]["time"]), obs_t, mags[i], jnp.inf))
+        got = data[f]["mag"]
+        sel = np.isfinite(direct) & np.isfinite(got)
+        assert sel.sum() > 10
+        np.testing.assert_allclose(got[sel], direct[sel], rtol=1e-3,
+                                   atol=1e-3)
