@@ -68,6 +68,13 @@ class EMAnalysis:
             data = {f: data[f] for f in cfg.filters if f in data}
         self.data_dict = data
         self.filters = sorted(data.keys())
+        # detection check (reference check_detections, em/analysis.py:49-60)
+        n_det = sum(int(np.sum(np.isfinite(
+            np.atleast_1d(data[f]["mag_error"])))) for f in self.filters)
+        if not self.filters or n_det == 0:
+            raise ValueError(
+                "no detections in the light-curve data after cuts/filter "
+                "selection — nothing to fit (reference behavior: abort)")
 
         sample_times = np.geomspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
         self.model = DetectorLightCurveModel(cfg.model, self.filters,

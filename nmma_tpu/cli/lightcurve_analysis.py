@@ -49,6 +49,12 @@ def _single_run(args):
     if args.injection:
         data, injection_parameters, trigger_time = data_from_injection(args)
 
+    n_tsteps = args.n_tsteps
+    if getattr(args, "tstep", None):
+        # reference quick-start --dt convention: linear step over the
+        # model window (grid density equivalent on our geomspace grid)
+        n_tsteps = max(int(round((args.tmax - args.tmin) / args.tstep)) + 1,
+                       8)
     cfg = EMAnalysisConfig(
         model=model_name,
         prior_file=args.prior,
@@ -56,7 +62,7 @@ def _single_run(args):
         trigger_time=trigger_time,
         data_tmin=args.data_tmin, data_tmax=args.data_tmax,
         filters=args.filters.split(",") if args.filters else None,
-        tmin=args.tmin, tmax=args.tmax, n_tsteps=args.n_tsteps,
+        tmin=args.tmin, tmax=args.tmax, n_tsteps=n_tsteps,
         error_budget=args.em_error_budget,
         systematics_file=args.systematics_file,
         detection_limit=args.detection_limit,
@@ -67,12 +73,21 @@ def _single_run(args):
         sampler=sampler_config_from_args(args),
     )
     priors = None
+    if getattr(args, "ebv_max", 0.0) and args.ebv_max > 0.0:
+        # linear-decay extinction prior (reference --Ebv-max)
+        from ..priors import load_prior_file
+        from ..priors.astro import extinction_prior
+        from ..priors.core import PriorDict
+        pd = dict(load_prior_file(args.prior).priors)
+        extinction_prior(pd, Ebv_max=args.ebv_max)
+        priors = PriorDict(pd)
     if args.fits_file:
         # skymap-driven inclination prior (reference prior.py:80-171)
         from ..priors import load_prior_file
         from ..priors.astro import inclination_prior_from_fits
         from ..priors.core import PriorDict
-        priors = dict(load_prior_file(args.prior).priors)
+        priors = dict(priors.priors) if priors is not None else \
+            dict(load_prior_file(args.prior).priors)
         dL = args.dL
         if dL is None:
             lum = priors.get("luminosity_distance")
@@ -190,7 +205,15 @@ def data_from_injection(args):
     data = create_light_curve_data(
         entry, model=args.model, filters=filters, tmin=args.tmin,
         tmax=args.tmax, seed=args.generation_seed,
-        detection_limit=args.detection_limit)
+        detection_limit=args.detection_limit,
+        ztf_sampling=getattr(args, "ztf_sampling", False),
+        ztf_uncertainties=getattr(args, "ztf_uncertainties", False),
+        ztf_too=getattr(args, "ztf_too", None))
+    if getattr(args, "injection_outfile", None):
+        from ..io import write_em_observations
+        os.makedirs(os.path.dirname(args.injection_outfile) or ".",
+                    exist_ok=True)
+        write_em_observations(args.injection_outfile, data)
     return data, entry, trigger_time
 
 

@@ -80,8 +80,28 @@ def base_analysis_parser(description=""):
                    default=14.0)
     p.add_argument("--em-nsteps", "--n-tsteps", dest="n_tsteps", type=int,
                    default=150)
+    p.add_argument("--em-tstep", "--dt", dest="tstep", type=float,
+                   default=None,
+                   help="linear model-grid time step [days] (reference "
+                        "quick-start --dt; overrides --em-nsteps)")
     p.add_argument("--kilonova-error", "--em-error-budget",
-                   dest="em_error_budget", type=float, default=None)
+                   "--error-budget", dest="em_error_budget", type=float,
+                   default=None)
+    p.add_argument("--Ebv-max", dest="ebv_max", type=float, default=0.0,
+                   help="linear-decay Ebv extinction prior upper bound "
+                        "(0 disables; reference em_parsing.py:447)")
+    p.add_argument("--injection-outfile", type=str, default=None,
+                   help="write the synthesized injection photometry here")
+    p.add_argument("--ztf-sampling", action="store_true",
+                   help="KDE-drawn ZTF survey epochs (reference "
+                        "adjust_data_for_ztf)")
+    p.add_argument("--ztf-uncertainties", action="store_true",
+                   help="skew-normal ZTF photometric uncertainties")
+    p.add_argument("--ztf-ToO", dest="ztf_too", choices=["180", "300"],
+                   default=None,
+                   help="add ZTF target-of-opportunity exposures (s)")
+    p.add_argument("--rubin-ToO-type", dest="rubin_too_type", default=None,
+                   help="platinum | gold[_z] | silver[_z]")
     p.add_argument("--systematics-file", type=str, default=None)
     p.add_argument("--fits-file", type=str, default=None,
                    help="GW skymap FITS to build the inclination_EM prior "

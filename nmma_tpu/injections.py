@@ -60,7 +60,8 @@ def create_light_curve_data(injection_parameters, model, filters,
                             detection_limit=np.inf,
                             keep_infinite_data=False,
                             trigger_time=None,
-                            ztf_sampling=False, rubin_too_type=None):
+                            ztf_sampling=False, rubin_too_type=None,
+                            ztf_uncertainties=False, ztf_too=None):
     """Synthetic photometry from injection parameters.
 
     Reference semantics (lightcurve_generation.py:816-917): detector-frame
@@ -81,6 +82,39 @@ def create_light_curve_data(injection_parameters, model, filters,
 
     if trigger_time is None:
         trigger_time = injection_parameters.get("trigger_time", 0.0)
+
+    # data-driven ZTF survey simulation (reference adjust_data_for_ztf,
+    # lightcurve_generation.py:968-1128): KDE-drawn epochs + limiting
+    # magnitudes + skew-normal uncertainties from the packaged observing
+    # statistics (falls back to the parametric cadence when the converted
+    # artifact file is absent)
+    if ztf_sampling or ztf_uncertainties or ztf_too:
+        try:
+            from .strategies import ZTFObservingModel
+            ztf_model = ZTFObservingModel()
+        except FileNotFoundError:
+            ztf_model = None
+        if ztf_model is not None:
+            if np.isscalar(injection_error_budget):
+                dmag = {f: float(injection_error_budget) for f in filters}
+            else:
+                dmag = dict(injection_error_budget)
+            dense = {}
+            for i, filt in enumerate(filters):
+                noisy = mags[i] + rng.normal(scale=dmag[filt],
+                                             size=mags.shape[1])
+                dense[filt] = {
+                    "time": obs_times + trigger_time, "mag": noisy,
+                    "mag_error": np.full(mags.shape[1], dmag[filt])}
+            data = ztf_model.apply(
+                dense, filters, rng, float(np.max(obs_times)),
+                trigger_time=trigger_time,
+                uncertainties=ztf_uncertainties, too=ztf_too)
+            if not keep_infinite_data:
+                data = {f: {k: np.asarray(v)[np.isfinite(d["mag"])]
+                            for k, v in d.items()}
+                        for f, d in data.items()}
+            return data
 
     # realistic telescope cadences (reference adjust_lc_for_telescopes,
     # lightcurve_generation.py:861-897)

@@ -118,7 +118,12 @@ def _me2017_dynamics_xla(log10_mej, log10_vej, beta, kappa_r, t_days):
         (vm_s * c_cgs)[None, :] * t_j * beta)
     denom = tdiff + t_j * (vm_s / c_cgs)[None, :]      # [T-1, S]
 
-    a = 1.0 - dt_j / t_j - dt_j / denom
+    # stability guard (VERDICT r1 weak #8): the explicit recurrence needs
+    # a in [0, 1]; coarse user grids push thin outer shells to a < 0 and
+    # the iteration silently diverges. Clipping leaves every stable lane
+    # bit-identical and gives unstable lanes the physical one-step
+    # relaxation limit (e -> dt*edot) instead of garbage.
+    a = jnp.clip(1.0 - dt_j / t_j - dt_j / denom, 0.0, 1.0)
     b = dt_j * edot
 
     def combine(lhs, rhs):

@@ -83,7 +83,11 @@ def _me2017_dynamics_kernel(tvec_ref, params_ref, xn0_ref, ltot_ref, rphoto_ref)
         vm_pig = jnp.max(jnp.where(tau_dev <= dev_min, vm, 0.0), axis=1)
         ltot_ref[pl.ds(j, 1), :] = ltot[None, :]
         rphoto_ref[pl.ds(j, 1), :] = (vm_pig * t_j)[None, :]
-        ene = ene + dt_j * (edot - ene / t_j - lum)
+        # same stability clamp as the XLA path (models/kilonova.py): the
+        # Euler decay factor stays in [0, 1] so coarse grids relax
+        # instead of diverging
+        factor = jnp.clip(1.0 - dt_j / t_j - dt_j / denom, 0.0, 1.0)
+        ene = factor * ene + dt_j * edot
         return ene
 
     ene0 = jnp.zeros((TILE_B, S_PAD), dtype=jnp.float32)

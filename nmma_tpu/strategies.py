@@ -9,6 +9,8 @@ observation epochs before noise/detection-limit application.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -94,3 +96,138 @@ def validate_lightcurve(data, filters=None, min_obs=3, cutoff_time=0,
                       f"required: {min_obs}")
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Data-driven ZTF observing model (the reference's legacy joblib-KDE
+# strategy, nmma/em/lightcurve_generation.py:968-1128, un-gated): the
+# version-fragile sklearn/pandas artifacts are converted once into plain
+# arrays (scripts/convert_ztf_artifacts.py) — Gaussian KDEs reduce to
+# (training points, bandwidth) pairs, the observing logs to flattened
+# per-night tables.
+# ---------------------------------------------------------------------------
+
+_ZTF_BAND = {1: "ztfg", 2: "ztfr", 3: "ztfi"}
+
+
+class ZTFObservingModel:
+    """Samples realistic ZTF survey epochs, limiting magnitudes, and
+    skew-normal photometric uncertainties from the reference's packaged
+    observing statistics."""
+
+    def __init__(self, npz_path=None):
+        if npz_path is None:
+            npz_path = os.path.join(os.path.dirname(__file__), "data",
+                                    "ztf_observing.npz")
+        if not os.path.exists(npz_path):
+            raise FileNotFoundError(
+                f"{npz_path} missing — run scripts/convert_ztf_artifacts.py"
+                " against the reference data files")
+        self._z = np.load(npz_path)
+
+    def _kde(self, rng, tag, n=1):
+        pts = self._z[f"{tag}_points"]
+        bw = float(self._z[f"{tag}_bandwidth"])
+        centres = pts[rng.integers(0, len(pts), n)]
+        return centres + rng.normal(0.0, bw, n)
+
+    def _night(self, rng, prefix):
+        offsets = self._z[f"{prefix}_offsets"]
+        i = rng.integers(0, len(offsets) - 1)
+        sl = slice(offsets[i], offsets[i + 1])
+        return self._z[f"{prefix}_t"][sl], self._z[f"{prefix}_band"][sl]
+
+    def simulate_epochs(self, rng, t_last, trigger_time=0.0, too=None):
+        """-> (mjd [N], band names [N], is_too [N]) observation epochs."""
+        mjd, bands, is_too = [], [], []
+        # public survey: nights drawn from the observing log, revisit
+        # gaps from the revisit-time KDE
+        t = rng.uniform(trigger_time, trigger_time + 2.0)
+        while t < t_last + trigger_time:
+            dt_row, band_row = self._night(rng, "sampling")
+            mjd.extend(t + dt_row)
+            bands.extend(_ZTF_BAND[int(b)] for b in band_row)
+            is_too.extend([False] * len(dt_row))
+            t += float(self._kde(rng, "revisit")[0])
+        # i band starts later, with its own cadence
+        t = rng.uniform(trigger_time, trigger_time + 4.0)
+        while t < t_last + trigger_time:
+            mjd.append(t)
+            bands.append("ztfi")
+            is_too.append(False)
+            t += float(self._kde(rng, "revisit_i")[0])
+        # target-of-opportunity nights (180 s or 300 s exposures)
+        if too:
+            t = rng.uniform(trigger_time, trigger_time + 1.0)
+            for _ in range(int(rng.integers(1, 3))):
+                dt_row, band_row = self._night(rng, f"sampling_too{too}")
+                mjd.extend(t + dt_row)
+                bands.extend(_ZTF_BAND[int(b)] for b in band_row)
+                is_too.extend([True] * len(dt_row))
+                t += 1.0
+        order = np.argsort(mjd)
+        return (np.asarray(mjd)[order], np.asarray(bands)[order],
+                np.asarray(is_too)[order])
+
+    def _limiting_mag(self, rng, band, too):
+        if band == "ztfi":
+            return float(self._kde(rng, "lim_i")[0])
+        suffix = "g" if band == "ztfg" else "r"
+        tag = f"lim_too{too}_{suffix}" if too else f"lim_{suffix}"
+        if too and f"{tag}_points" not in self._z:
+            tag = f"lim_{suffix}"
+        return float(self._kde(rng, tag)[0])
+
+    def _mag_error(self, rng, band, mag):
+        """Skew-normal uncertainty draw for (band, magnitude-interval)."""
+        from scipy.stats import skewnorm
+        code = {"ztfg": 1, "ztfr": 2, "ztfi": 3}[band]
+        sel = (self._z["uncer_band"] == code) & \
+            (mag > self._z["uncer_left"]) & (mag <= self._z["uncer_right"])
+        idx = np.flatnonzero(sel)
+        if not len(idx):
+            # outside the measured region: nearest interval of that band
+            band_rows = np.flatnonzero(self._z["uncer_band"] == code)
+            mid = 0.5 * (self._z["uncer_left"][band_rows]
+                         + self._z["uncer_right"][band_rows])
+            idx = [band_rows[int(np.argmin(np.abs(mid - mag)))]]
+        i = idx[0]
+        return float(skewnorm.rvs(self._z["uncer_a"][i],
+                                  self._z["uncer_loc"][i],
+                                  self._z["uncer_scale"][i],
+                                  random_state=rng))
+
+    def apply(self, data, filters, rng, t_last, trigger_time=0.0,
+              uncertainties=True, too=None):
+        """Resample a dense light-curve dict onto simulated ZTF epochs.
+
+        ``data``: {filt: {'time' (absolute), 'mag', 'mag_error'}}. Epochs
+        whose model magnitude is fainter than the drawn limiting mag
+        become (limit, inf-error) non-detections; detections get
+        skew-normal uncertainties when ``uncertainties`` is on.
+        """
+        mjd, bands, is_too = self.simulate_epochs(rng, t_last, trigger_time,
+                                                  too=too)
+        out = {}
+        for filt in set(bands):
+            if filt not in filters or filt not in data:
+                continue
+            sel = bands == filt
+            times = mjd[sel]
+            src = data[filt]
+            mags = np.interp(times, np.asarray(src["time"]),
+                             np.asarray(src["mag"]),
+                             left=np.inf, right=np.inf)
+            errs = np.interp(times, np.asarray(src["time"]),
+                             np.asarray(src["mag_error"]),
+                             left=np.inf, right=np.inf)
+            for k in range(len(times)):
+                lim = self._limiting_mag(rng, filt, too if is_too[sel][k]
+                                         else None)
+                if mags[k] > lim:
+                    mags[k] = lim
+                    errs[k] = np.inf
+                elif uncertainties and np.isfinite(errs[k]):
+                    errs[k] = self._mag_error(rng, filt, mags[k])
+            out[filt] = {"time": times, "mag": mags, "mag_error": errs}
+        return out
