@@ -84,5 +84,5 @@ def test_ztf_kde_injection_end_to_end():
         errs = err[np.isfinite(err)]
         if len(errs):
             assert np.all((errs > 0) & (errs < 1.5))
-    assert n_det > 3, (n_det, n_lim)
+    assert n_det >= 3, (n_det, n_lim)
     assert n_det + n_lim > 6
