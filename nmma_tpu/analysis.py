@@ -38,6 +38,9 @@ class EMAnalysisConfig:
     tmin: float = 0.01
     tmax: float = 14.0
     n_tsteps: int = 150
+    timescale: str = "log"       # model grid: 'log' (geomspace) | 'linear'
+    extinction_law: str = "P92_SMC_host"
+    time_format: str = "mjd"
     error_budget: float = 1.0
     systematics_file: str = None
     detection_limit: float = np.inf
@@ -58,7 +61,8 @@ class EMAnalysis:
         cfg = config
 
         if data is None:
-            data = load_em_observations(cfg.light_curve_data)
+            data = load_em_observations(cfg.light_curve_data,
+                                        time_format=cfg.time_format)
         data = cut_data_to_time_range(data, cfg.trigger_time, cfg.data_tmin,
                                       cfg.data_tmax)
         data = shift_to_trigger_time(data, cfg.trigger_time)
@@ -76,10 +80,14 @@ class EMAnalysis:
                 "no detections in the light-curve data after cuts/filter "
                 "selection — nothing to fit (reference behavior: abort)")
 
-        sample_times = np.geomspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
-        self.model = DetectorLightCurveModel(cfg.model, self.filters,
-                                             sample_times=sample_times,
-                                             model_kwargs=cfg.model_kwargs)
+        if cfg.timescale == "linear":
+            sample_times = np.linspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
+        else:
+            sample_times = np.geomspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
+        self.model = DetectorLightCurveModel(
+            cfg.model, self.filters, sample_times=sample_times,
+            extinction_law=cfg.extinction_law,
+            model_kwargs=cfg.model_kwargs)
 
         self.priors: PriorDict = priors if priors is not None else \
             load_prior_file(cfg.prior_file)

@@ -48,6 +48,8 @@ def _single_run(args):
     trigger_time = args.trigger_time or 0.0
     if args.injection:
         data, injection_parameters, trigger_time = data_from_injection(args)
+    if getattr(args, "injection_model", None) and not args.injection:
+        raise ValueError("--injection-model needs --injection")
 
     n_tsteps = args.n_tsteps
     if getattr(args, "tstep", None):
@@ -63,6 +65,9 @@ def _single_run(args):
         data_tmin=args.data_tmin, data_tmax=args.data_tmax,
         filters=args.filters.split(",") if args.filters else None,
         tmin=args.tmin, tmax=args.tmax, n_tsteps=n_tsteps,
+        timescale=getattr(args, "timescale", "log"),
+        extinction_law=getattr(args, "extinction_law", "P92_SMC_host"),
+        time_format=getattr(args, "time_format", "mjd"),
         error_budget=args.em_error_budget,
         systematics_file=args.systematics_file,
         detection_limit=args.detection_limit,
@@ -72,14 +77,37 @@ def _single_run(args):
                       "jet_type": args.jet_type},
         sampler=sampler_config_from_args(args),
     )
+    if getattr(args, "fetch_Ebv_from_dustmap", False):
+        raise RuntimeError(
+            "--fetch-Ebv-from-dustmap needs the dustmaps SFD data, which "
+            "requires network access unavailable in this environment; "
+            "pass --Ebv-max or a fixed Ebv in the prior file instead")
     priors = None
-    if getattr(args, "ebv_max", 0.0) and args.ebv_max > 0.0:
-        # linear-decay extinction prior (reference --Ebv-max)
-        from ..priors import load_prior_file
-        from ..priors.astro import extinction_prior
-        from ..priors.core import PriorDict
-        pd = dict(load_prior_file(args.prior).priors)
-        extinction_prior(pd, Ebv_max=args.ebv_max)
+    shaping = (getattr(args, "ebv_max", 0.0) > 0.0
+               or getattr(args, "use_ebv", False)
+               or getattr(args, "conditional_gaussian_prior_thetaobs",
+                          False)
+               or getattr(args, "ignore_timeshift", False)
+               or getattr(args, "redshift", None) is not None)
+    if shaping:
+        # prior composition (reference create_prior_from_args,
+        # em/prior.py:221-244) + timeshift/redshift surgery
+        from ..priors.astro import create_prior_from_args
+        from ..priors.core import DeltaFunction, PriorDict
+        priors = create_prior_from_args(
+            args.prior,
+            Ebv_max=args.ebv_max if args.ebv_max > 0 else 0.5724,
+            use_Ebv=bool(args.ebv_max > 0 or args.use_ebv),
+            conditional_gaussian_prior_thetaObs=bool(
+                args.conditional_gaussian_prior_thetaobs),
+            conditional_gaussian_prior_N_sigma=float(
+                args.conditional_gaussian_prior_n_sigma))
+        pd = dict(priors.priors)
+        if getattr(args, "ignore_timeshift", False):
+            pd["timeshift"] = DeltaFunction(peak=0.0, name="timeshift")
+        if getattr(args, "redshift", None) is not None:
+            pd["redshift"] = DeltaFunction(peak=float(args.redshift),
+                                           name="redshift")
         priors = PriorDict(pd)
     if args.fits_file:
         # skymap-driven inclination prior (reference prior.py:80-171)
@@ -203,12 +231,16 @@ def data_from_injection(args):
     filters = args.filters.split(",") if args.filters else ["ztfg", "ztfr",
                                                             "ztfi"]
     data = create_light_curve_data(
-        entry, model=args.model, filters=filters, tmin=args.tmin,
+        entry, model=getattr(args, "injection_model", None) or args.model,
+        filters=filters, tmin=args.tmin,
         tmax=args.tmax, seed=args.generation_seed,
+        injection_error_budget=getattr(args, "injection_error_budget",
+                                       0.1),
         detection_limit=args.detection_limit,
         ztf_sampling=getattr(args, "ztf_sampling", False),
         ztf_uncertainties=getattr(args, "ztf_uncertainties", False),
-        ztf_too=getattr(args, "ztf_too", None))
+        ztf_too=getattr(args, "ztf_too", None),
+        rubin_too_type=getattr(args, "rubin_too_type", None))
     if getattr(args, "injection_outfile", None):
         from ..io import write_em_observations
         os.makedirs(os.path.dirname(args.injection_outfile) or ".",

@@ -102,6 +102,43 @@ def base_analysis_parser(description=""):
                    help="add ZTF target-of-opportunity exposures (s)")
     p.add_argument("--rubin-ToO-type", dest="rubin_too_type", default=None,
                    help="platinum | gold[_z] | silver[_z]")
+    p.add_argument("--em-timescale", dest="timescale", default="log",
+                   choices=["log", "linear"],
+                   help="model time-grid spacing (reference "
+                        "em_parsing.py:49)")
+    p.add_argument("--em-extinction-law", dest="extinction_law",
+                   default="P92_SMC_host",
+                   choices=["P92_SMC_host", "G23_MW"])
+    p.add_argument("--time-format", "--data-time-unit", dest="time_format",
+                   default="mjd", help="photometry time column format "
+                                       "(mjd | gps | jd | isot)")
+    p.add_argument("--injection-model", type=str, default=None,
+                   help="synthesize data with this model instead of "
+                        "--model (reference em_parsing.py)")
+    p.add_argument("--injection-error-budget",
+                   "--photometric-error-budget",
+                   dest="injection_error_budget", type=float, default=0.1)
+    p.add_argument("--use-Ebv", dest="use_ebv", action="store_true",
+                   help="sample Ebv even when --Ebv-max keeps its default")
+    p.add_argument("--fetch-Ebv-from-dustmap", action="store_true",
+                   help="GATED: dustmaps needs network data unavailable "
+                        "in this environment")
+    p.add_argument("--conditional-gaussian-prior-thetaObs",
+                   dest="conditional_gaussian_prior_thetaobs",
+                   action="store_true",
+                   help="half-Gaussian iota | thetaCore conditional prior "
+                        "(reference prior.py:18-77)")
+    p.add_argument("--conditional-gaussian-prior-N-sigma",
+                   dest="conditional_gaussian_prior_n_sigma", type=float,
+                   default=1.0)
+    p.add_argument("--ignore-timeshift", action="store_true",
+                   help="pin timeshift = 0 regardless of the prior file")
+    p.add_argument("--redshift", "--z", dest="redshift", type=float,
+                   default=None, help="fix the source redshift")
+    p.add_argument("--local-only", "--local-model-only", dest="local_only",
+                   action="store_true",
+                   help="never invoke the surrogate-download registry")
+    p.add_argument("--em-transient-class", type=str, default=None)
     p.add_argument("--systematics-file", type=str, default=None)
     p.add_argument("--fits-file", type=str, default=None,
                    help="GW skymap FITS to build the inclination_EM prior "

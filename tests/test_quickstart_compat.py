@@ -86,3 +86,43 @@ def test_ztf_kde_injection_end_to_end():
             assert np.all((errs > 0) & (errs < 1.5))
     assert n_det >= 3, (n_det, n_lim)
     assert n_det + n_lim > 6
+
+
+def test_extended_flag_surface_assembles(tmp_path):
+    """Round-2 flag-breadth additions wire through a real (skip-sampling)
+    assembly: conditional iota prior, Ebv prior, linear timescale,
+    MW extinction law, ignore-timeshift."""
+    from nmma_tpu.cli.lightcurve_analysis import main
+
+    lc = tmp_path / "lc.dat"
+    t = np.linspace(0.5, 8.0, 10)
+    rows = []
+    for f in ("ztfg", "ztfr"):
+        rows += [f"{59000 + ti} {f} {19 + 0.2 * ti:.3f} 0.1" for ti in t]
+    lc.write_text("\n".join(rows) + "\n")
+    prior = tmp_path / "p.prior"
+    prior.write_text(
+        "log10_E0 = Uniform(minimum=49., maximum=54.)\n"
+        "thetaCore = Uniform(minimum=0.01, maximum=0.3)\n"
+        "thetaWing = 0.4\nlog10_n0 = -2.\np = 2.3\n"
+        "log10_epsilon_e = -1.\nlog10_epsilon_B = -3.\nxi_N = 1.0\n"
+        "inclination_EM = Uniform(minimum=0., maximum=1.0)\n"
+        "luminosity_distance = 40.\ntimeshift = "
+        "Uniform(minimum=-1., maximum=1.)\n")
+    ana = main([
+        "--model", "TrPi2018", "--outdir", str(tmp_path), "--label", "x",
+        "--prior", str(prior), "--light-curve-data", str(lc),
+        "--trigger-time", "59000", "--tmin", "0.1", "--tmax", "20",
+        "--em-timescale", "linear", "--em-extinction-law", "G23_MW",
+        "--Ebv-max", "0.3", "--conditional-gaussian-prior-thetaObs",
+        "--ignore-timeshift", "--skip-sampling",
+    ])
+    assert "Ebv" in ana.priors.keys()
+    from nmma_tpu.priors.core import (ConditionalGaussianIotaGivenThetaCore,
+                                      DeltaFunction)
+    assert isinstance(ana.priors["inclination_EM"],
+                      ConditionalGaussianIotaGivenThetaCore)
+    assert isinstance(ana.priors["timeshift"], DeltaFunction)
+    assert ana.model.extinction_law == "G23_MW"
+    dt = np.diff(np.asarray(ana.model.sample_times))
+    np.testing.assert_allclose(dt, dt[0], rtol=1e-5)   # linear grid
