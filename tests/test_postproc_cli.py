@@ -59,3 +59,40 @@ def test_gwem_resampling_cli(tmp_path, rng):
         "--outdir", str(tmp_path), "--nlive", "96"])
     assert np.isfinite(result.logz)
     assert (tmp_path / "gwem_resampling_posterior_samples.csv").exists()
+
+
+def test_plot_multi_corner_cli(tmp_path, rng):
+    """Overlay corner + histogram plots from result files (reference
+    plotting_routines plot_multi_corner / plot_histograms_only)."""
+    import numpy as np
+
+    from nmma_tpu.post_processing.plotting_routines import main
+
+    for i in range(2):
+        np.savez(tmp_path / f"r{i}.npz",
+                 posterior_a=rng.normal(i, 1.0, 400),
+                 posterior_b=rng.normal(0, 2.0, 400))
+    out = main([str(tmp_path / "r0.npz"), str(tmp_path / "r1.npz"),
+                "--labels", "one,two",
+                "--outfile", str(tmp_path / "mc.png")])
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 5000
+    out2 = main([str(tmp_path / "r0.npz"), str(tmp_path / "r1.npz"),
+                 "--histograms-only",
+                 "--outfile", str(tmp_path / "hist.png")])
+    assert os.path.exists(out2)
+
+
+def test_plotting_utils():
+    from nmma_tpu.plotting_utils import (fading_cmap, fig_setup,
+                                         latex_label, setup_multi_axes)
+    import matplotlib.pyplot as plt
+    fig, ax = fig_setup()
+    plt.close(fig)
+    fig, axes = setup_multi_axes(5)
+    assert len(axes) == 5
+    plt.close(fig)
+    cmap = fading_cmap("#1f77b4")
+    assert cmap(0.0) != cmap(1.0)
+    assert "Lambda" in latex_label("lambda_tilde")
+    assert latex_label("not_a_param") == r"not\_a\_param"
