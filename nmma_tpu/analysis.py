@@ -89,8 +89,10 @@ class EMAnalysis:
             extinction_law=cfg.extinction_law,
             model_kwargs=cfg.model_kwargs)
 
-        self.priors: PriorDict = priors if priors is not None else \
-            load_prior_file(cfg.prior_file)
+        if priors is None:
+            from .priors import adjust_priors_for_nmma
+            priors = adjust_priors_for_nmma(load_prior_file(cfg.prior_file))
+        self.priors: PriorDict = priors
 
         photo, _ = PhotometryData.from_dict(data, self.filters)
         systematics = SystematicsModel(

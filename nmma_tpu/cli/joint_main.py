@@ -373,6 +373,10 @@ def build_joint_likelihood(dump):
 
     args = dump["args"]
     priors = load_prior_file(dump["prior_file"])
+    # NMMADummyPrior placeholders -> h5 multivariate block / Hubble table
+    # (reference adjust_priors_for_nmma, nmma/core/base.py:198-231)
+    from ..priors import adjust_priors_for_nmma
+    priors = adjust_priors_for_nmma(priors)
     waveform = get_waveform(args.get("waveform", "TaylorF2"))
 
     # Hubble prior surgery (reference adjust_priors_for_nmma /

@@ -146,3 +146,49 @@ def inclination_prior_from_fits(fits_file, dL, ra=None, dec=None,
     order_ix = np.argsort(iota_em)
     return Interped(iota_em[order_ix], prob_em[order_ix], minimum=0.0,
                     maximum=np.pi / 2, name="inclination_EM")
+
+
+def h5_to_multivar_prior(h5_file_path, priors=None):
+    """Fit a multivariate Gaussian to the sample columns of an HDF5 file
+    and add the correlated prior block (reference ``h5_to_multivar_prior``,
+    nmma/core/base.py:257-272: every top-level dataset is one parameter's
+    samples)."""
+    import h5py
+
+    from .core import multivariate_gaussian_priors
+    priors = dict(priors or {})
+    with h5py.File(h5_file_path, "r") as f:
+        keys = list(f.keys())
+        samples = np.column_stack([np.asarray(f[k]) for k in keys])
+    priors.update(multivariate_gaussian_priors(keys, samples=samples))
+    return priors
+
+
+def adjust_priors_for_nmma(priors):
+    """Replace NMMADummyPrior placeholders (reference
+    ``adjust_priors_for_nmma``, nmma/core/base.py:198-231): '*h5*' keys
+    load a multivariate-Gaussian block, '*hubble*' keys an Interped
+    prior from a two-column Hubble weight table. Returns a PriorDict."""
+    from .core import NMMADummyPrior, PriorDict
+    pd = dict(priors.priors) if isinstance(priors, PriorDict) else \
+        dict(priors)
+    for key in list(pd):
+        prior = pd[key]
+        if not isinstance(prior, NMMADummyPrior):
+            continue
+        setup = prior.setup_props
+        pd.pop(key)
+        if "h5" in key.lower():
+            pd = h5_to_multivar_prior(setup, pd)
+        elif "hubble" in key.lower():
+            table = np.loadtxt(setup)
+            if table.ndim != 2:
+                raise ValueError(f"bad Hubble weight table {setup}")
+            xx, yy = table[:, 0], table[:, 1]
+            pd["Hubble_constant"] = Interped(
+                xx, yy, name="Hubble_constant")
+        else:
+            raise ValueError(
+                f"NMMADummyPrior key {key!r} matches no replacement rule "
+                "(expected 'h5' or 'hubble' in the name)")
+    return PriorDict(pd)

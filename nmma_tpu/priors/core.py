@@ -406,3 +406,104 @@ class PriorDict:
 
     def sample_units(self, key, n):
         return jax.random.uniform(key, (n, self.ndim))
+
+
+class _SharedMultivariateGaussian:
+    """Host-side Cholesky factorization shared by the per-parameter
+    components of one multivariate Gaussian block."""
+
+    def __init__(self, names, mean, cov):
+        self.names = list(names)
+        self.mean = np.asarray(mean, dtype=np.float64)
+        cov = np.asarray(cov, dtype=np.float64)
+        self.chol = np.linalg.cholesky(
+            cov + 1e-12 * np.eye(len(self.mean)))
+        # leading-block inverses for reconstructing the whitened
+        # coordinates of earlier components
+        self._inv_blocks = [None] + [
+            np.linalg.inv(self.chol[:k, :k])
+            for k in range(1, len(self.mean))]
+
+
+class MultivariateGaussianComponent(Prior):
+    """One coordinate of a correlated Gaussian prior block.
+
+    Counterpart of bilby's ``MultivariateGaussian``/``...Dist`` as used by
+    the reference's HDF5 prior surgery (``h5_to_multivar_prior``,
+    nmma/core/base.py:257-272). The joint transform is the Cholesky map
+    x = mean + L z with z = ndtri(u); component k is conditional on the
+    earlier components (their whitened coordinates are reconstructed from
+    the already-transformed values), so inserting the components in order
+    into a PriorDict samples the exact joint distribution.
+    """
+
+    def __init__(self, shared: _SharedMultivariateGaussian, index: int,
+                 name=None, latex_label=None):
+        sigma = float(np.sqrt(np.sum(shared.chol[index, :index + 1] ** 2)))
+        mu = float(shared.mean[index])
+        super().__init__(name=name or shared.names[index],
+                         latex_label=latex_label,
+                         minimum=mu - 10 * sigma, maximum=mu + 10 * sigma)
+        self.shared = shared
+        self.index = int(index)
+        self.conditional = self.index > 0
+
+    def transform(self, u, params=None):
+        from jax.scipy.special import ndtri
+        sh = self.shared
+        k = self.index
+        z_k = ndtri(jnp.clip(jnp.asarray(u), 1e-7, 1.0 - 1e-7))
+        x = sh.mean[k] + sh.chol[k, k] * z_k
+        if k > 0:
+            prev = jnp.stack([jnp.asarray(params[sh.names[j]])
+                              for j in range(k)], axis=-1)
+            z_prev = (prev - sh.mean[:k]) @ np.asarray(
+                sh._inv_blocks[k]).T
+            x = x + z_prev @ sh.chol[k, :k]
+        return x
+
+    def log_prob(self, x):
+        if self.index > 0:
+            raise NotImplementedError(
+                "conditional log_prob requires the full block")
+        mu = float(self.shared.mean[0])
+        sig = float(self.shared.chol[0, 0])
+        z = (jnp.asarray(x) - mu) / sig
+        return -0.5 * z * z - jnp.log(sig) - 0.5 * jnp.log(2 * jnp.pi)
+
+
+def multivariate_gaussian_priors(names, mean=None, cov=None, samples=None):
+    """Ordered {name: prior} dict sampling a joint Gaussian.
+
+    Either pass (mean, cov) directly, or ``samples`` [N, D] to fit them
+    (the reference fits mean/cov from the HDF5 sample columns).
+    """
+    if samples is not None:
+        samples = np.asarray(samples, dtype=np.float64)
+        mean = samples.mean(axis=0)
+        cov = np.cov(samples, rowvar=False)
+    shared = _SharedMultivariateGaussian(names, mean, cov)
+    return {name: MultivariateGaussianComponent(shared, i, name=name)
+            for i, name in enumerate(shared.names)}
+
+
+class NMMADummyPrior(Prior):
+    """Placeholder read from a .prior file, replaced by
+    ``adjust_priors_for_nmma`` (reference nmma/core/base.py:187-231):
+    keys containing 'h5' become a fitted multivariate Gaussian block from
+    an HDF5 sample file; keys containing 'hubble' become an Interped
+    prior from a Hubble weight table."""
+
+    sampled = False
+
+    def __init__(self, setup_props, name=None):
+        super().__init__(name=name, minimum=0.0, maximum=1.0)
+        self.setup_props = setup_props
+
+    def transform(self, u=None, params=None):
+        raise RuntimeError(
+            f"NMMADummyPrior('{self.setup_props}') was never replaced — "
+            "call adjust_priors_for_nmma(priors) first")
+
+    def log_prob(self, x):
+        return jnp.zeros_like(jnp.asarray(x))

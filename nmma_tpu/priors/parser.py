@@ -35,6 +35,7 @@ _NAMESPACE = {
     "Constraint": core.Constraint,
     "ConditionalGaussianIotaGivenThetaCore":
         core.ConditionalGaussianIotaGivenThetaCore,
+    "NMMADummyPrior": core.NMMADummyPrior,
 }
 
 

@@ -81,3 +81,59 @@ def test_detector_filter_sets():
     assert limits == {"ztfg": 21.7, "ztfr": 21.4}
     limits2 = create_detection_limit(["ztfg"], detection_limit=22.0)
     assert limits2 == {"ztfg": 22.0}
+
+
+def test_multivariate_gaussian_prior_block(rng):
+    """Correlated Gaussian block samples the exact joint distribution
+    through the sequential unit-cube transform."""
+    import jax
+    import jax.numpy as jnp
+
+    from nmma_tpu.priors import PriorDict, multivariate_gaussian_priors
+    mean = np.array([1.0, -2.0, 0.5])
+    a = rng.normal(size=(3, 3))
+    cov = a @ a.T + 0.5 * np.eye(3)
+    priors = PriorDict(multivariate_gaussian_priors(["x", "y", "z"],
+                                                    mean=mean, cov=cov))
+    assert priors.ndim == 3
+    u = jnp.asarray(rng.uniform(1e-4, 1 - 1e-4, (20000, 3)))
+    out = priors.transform(u)
+    samples = np.column_stack([np.asarray(out[k]) for k in ("x", "y", "z")])
+    np.testing.assert_allclose(samples.mean(axis=0), mean, atol=0.05)
+    np.testing.assert_allclose(np.cov(samples, rowvar=False), cov,
+                               atol=0.12)
+
+
+def test_h5_dummy_prior_surgery(tmp_path, rng):
+    """NMMADummyPrior placeholders in a .prior file are replaced by the
+    fitted multivariate block / Hubble Interped prior (reference
+    adjust_priors_for_nmma, nmma/core/base.py:198-231)."""
+    import h5py
+    import jax.numpy as jnp
+
+    from nmma_tpu.priors import (adjust_priors_for_nmma, parse_prior_dict)
+
+    h5 = tmp_path / "gw_samples.h5"
+    draws = rng.multivariate_normal([1.19, 0.9], [[1e-4, 5e-5],
+                                                  [5e-5, 4e-3]], 3000)
+    with h5py.File(h5, "w") as f:
+        f["chirp_mass"] = draws[:, 0]
+        f["mass_ratio"] = draws[:, 1]
+    hubble = tmp_path / "hubble.dat"
+    hh = np.linspace(50, 100, 40)
+    np.savetxt(hubble, np.column_stack([hh, np.exp(-0.5 * ((hh - 70) / 5) ** 2)]))
+
+    priors = parse_prior_dict(
+        f"gw_h5_prior = NMMADummyPrior('{h5}')\n"
+        f"hubble_weights = NMMADummyPrior('{hubble}')\n"
+        "luminosity_distance = Uniform(minimum=10., maximum=100.)\n")
+    full = adjust_priors_for_nmma(priors)
+    assert "chirp_mass" in full.sampled_names
+    assert "Hubble_constant" in full.sampled_names
+    assert "gw_h5_prior" not in full.keys()
+    u = jnp.asarray(rng.uniform(0.05, 0.95, (5000, full.ndim)))
+    out = full.transform(u)
+    np.testing.assert_allclose(np.mean(np.asarray(out["chirp_mass"])),
+                               1.19, atol=2e-3)
+    h0 = np.asarray(out["Hubble_constant"])
+    assert abs(np.median(h0) - 70.0) < 2.0
