@@ -133,6 +133,22 @@ def _single_run(args):
     analysis = EMAnalysis(cfg, data=data, priors=priors)
     from .parsing import write_complete_config
     write_complete_config(args)
+    if args.sampler == "neuralnet":
+        # likelihood-free inference (reference --sampler neuralnet,
+        # em/analysis.py:176-307): amortized flow posterior
+        import numpy as _np
+
+        from ..mlmodel.inference import nnanalysis
+        post, _ = nnanalysis(analysis, seed=args.seed,
+                             verbose=args.verbose)
+        _np.savez(os.path.join(cfg.outdir, f"{cfg.label}_result.npz"),
+                  sampler="neuralnet",
+                  **{f"posterior_{k}": _np.asarray(v)
+                     for k, v in post.items()})
+        print(f"neuralnet posterior: {len(next(iter(post.values())))} "
+              f"samples written to {cfg.outdir}/{cfg.label}_result.npz")
+        analysis.neuralnet_posterior = post
+        return analysis
     if args.skip_sampling:
         # with an existing checkpoint, regenerate result artifacts/plots
         # from it without further sampling (reference --skip-sampling

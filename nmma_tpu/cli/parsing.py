@@ -48,12 +48,32 @@ def check_for_config(cli_args=None):
 
 
 def apply_config(parser: argparse.ArgumentParser, config: dict, argv):
-    """Parse argv with config-file values as defaults (flags win)."""
+    """Parse argv with config-file values as defaults (flags win).
+
+    ini/cfg values arrive as strings: coerce them through each action's
+    declared type (booleans for store_true/false flags — a string
+    'False' would otherwise be truthy, silently flipping flags on
+    complete-config round trips)."""
     if config:
         normalized = {k.replace("-", "_"): v for k, v in config.items()}
-        known = {a.dest for a in parser._actions}
-        parser.set_defaults(**{k: v for k, v in normalized.items()
-                               if k in known})
+        defaults = {}
+        for action in parser._actions:
+            if action.dest not in normalized:
+                continue
+            value = normalized[action.dest]
+            if isinstance(value, str):
+                if isinstance(action, (argparse._StoreTrueAction,
+                                       argparse._StoreFalseAction)) or \
+                        isinstance(action.default, bool):
+                    value = value.strip().lower() in ("true", "1", "yes",
+                                                      "on")
+                elif action.type is not None:
+                    try:
+                        value = action.type(value)
+                    except (TypeError, ValueError):
+                        pass
+            defaults[action.dest] = value
+        parser.set_defaults(**defaults)
     return parser.parse_args(argv)
 
 

@@ -58,6 +58,13 @@ class MADEBlock(nn.Module):
             h = h + nn.Dense(self.hidden)(context)
         h = nn.relu(h)
         out = MaskedDense(2 * self.dim, masks[-1])(h)
+        if context is not None:
+            # direct context path to every output: the autoregressive
+            # output mask blocks the FIRST dimension from all hidden
+            # units (its parameters may depend on no earlier x), so
+            # without this the leading dimension — and a 1-D flow
+            # entirely — would be unconditioned on the light curve
+            out = out + nn.Dense(2 * self.dim)(context)
         shift, log_scale = out[..., :self.dim], out[..., self.dim:]
         log_scale = jnp.tanh(log_scale) * 3.0   # stability clamp
         return shift, log_scale

@@ -139,3 +139,77 @@ def train_flow_posterior(theta, lightcurves, parameter_names,
     return LFIPosterior(net=net, params=params, theta_mean=t_mean,
                         theta_std=t_std,
                         parameter_names=tuple(parameter_names))
+
+
+def nnanalysis(analysis, n_train=3000, n_epochs=400, n_posterior=20000,
+               noise_scale=None, seed=0, verbose=True):
+    """Amortized-posterior analysis of an assembled ``EMAnalysis``.
+
+    Counterpart of ``nnanalysis`` (nmma/em/analysis.py:176-307, the
+    ``--sampler neuralnet`` path): simulate prior-predictive light curves
+    through the forward model on its static grid, train the conditional
+    flow, and draw ~20k posterior samples for the observed data in one
+    device pass. The light-curve representation is the model's dense
+    [F, T] magnitude tensor (observations interpolated onto the model
+    grid; non-detections/missing epochs zeroed by the embedding, the
+    reference's padding convention).
+
+    Returns (posterior_dict, LFIPosterior).
+    """
+    priors = analysis.priors
+    model = analysis.model
+    names = list(priors.sampled_names)
+
+    key = jax.random.PRNGKey(seed)
+    key, draw_key, noise_key, samp_key = jax.random.split(key, 4)
+    u = priors.sample_units(draw_key, n_train)
+    theta_dict = jax.jit(priors.transform)(u)
+    theta = np.column_stack([np.asarray(theta_dict[k]) for k in names])
+
+    def fwd(u_row):
+        p = priors.transform(u_row)
+        _, mags = model(p)
+        return mags                                   # [F, T]
+
+    # chunked batched simulation (bounded device memory)
+    sims = []
+    fwd_b = jax.jit(jax.vmap(fwd))
+    for i in range(0, n_train, 1024):
+        sims.append(np.asarray(fwd_b(u[i:i + 1024])))
+    mags = np.concatenate(sims)                       # [N, F, T]
+
+    # per-filter noise at the observed error scale
+    if noise_scale is None:
+        sig = np.asarray(analysis.likelihood.data.sigmas)
+        valid = np.asarray(analysis.likelihood.data.valid) & np.isfinite(sig)
+        noise_scale = float(np.median(sig[valid])) if valid.any() else 0.1
+    rng = np.random.default_rng(seed)
+    # raw magnitudes go straight to the flow: the embedding applies its
+    # own brightness standardization and non-finite sentinel, so missing
+    # epochs stay distinguishable from data
+    lcs = mags + rng.normal(0.0, noise_scale, mags.shape)
+
+    # observed data -> the same representation (nan outside coverage)
+    data = analysis.likelihood.data
+    t_grid = np.asarray(model.sample_times)
+    obs = np.full(mags.shape[1:], np.nan, dtype=np.float32)
+    for i in range(obs.shape[0]):
+        t_i = np.asarray(data.times[i])
+        m_i = np.asarray(data.mags[i])
+        good = np.asarray(data.valid[i]) & np.isfinite(
+            np.asarray(data.sigmas[i]))
+        if good.sum() < 2:
+            continue
+        obs[i] = np.interp(t_grid, t_i[good], m_i[good],
+                           left=np.nan, right=np.nan)
+
+    # train under the observation's coverage mask so the observed context
+    # is in-distribution (the reference trains on survey-sampled curves
+    # with the same padding pattern for the same reason)
+    cover = np.isfinite(obs)
+    lcs = np.where(cover[None], lcs, np.nan)
+
+    posterior = train_flow_posterior(theta, lcs, names, n_epochs=n_epochs,
+                                     seed=seed, verbose=verbose)
+    samples = posterior.sample(samp_key, n_posterior, jnp.asarray(obs))
+    return samples, posterior

@@ -82,3 +82,44 @@ def test_amortized_posterior_recovers_parameter(rng):
     assert np.std(post["log10_mej"]) < 0.3
     # (log10_kappa_r is weakly identified from two optical bands alone;
     # no assertion on it)
+
+
+def test_neuralnet_sampler_cli(tmp_path, rng):
+    """--sampler neuralnet end to end: amortized flow posterior recovers
+    the injected parameter region on a tiny Me2017 setup (reference
+    nnanalysis path, em/analysis.py:176-307)."""
+    import jax
+    import numpy as np
+
+    from nmma_tpu.cli.lightcurve_analysis import main
+    from nmma_tpu.injections import create_light_curve_data
+
+    truth = dict(log10_mej=-1.4, log10_vej=-1.0, beta=3.0,
+                 log10_kappa_r=0.5, luminosity_distance=40.0, timeshift=0.0)
+    data = create_light_curve_data(
+        truth, "Me2017", ["ztfg", "ztfr"],
+        sample_times=np.linspace(0.5, 8.0, 12), seed=3,
+        injection_error_budget=0.1)
+    lines = []
+    for f, d in data.items():
+        for t, m, e in zip(d["time"], d["mag"], d["mag_error"]):
+            if np.isfinite(m) and np.isfinite(e):
+                lines.append(f"{59000 + t} {f} {m:.4f} {e:.3f}")
+    (tmp_path / "lc.dat").write_text("\n".join(lines) + "\n")
+    prior = tmp_path / "p.prior"
+    prior.write_text(
+        "log10_mej = Uniform(minimum=-2.5, maximum=-0.8)\n"
+        "log10_vej = -1.\nbeta = 3.\nlog10_kappa_r = 0.5\n"
+        "luminosity_distance = 40.\ntimeshift = 0.\n")
+    ana = main([
+        "--model", "Me2017", "--outdir", str(tmp_path), "--label", "nn",
+        "--prior", str(prior), "--light-curve-data", str(tmp_path / "lc.dat"),
+        "--trigger-time", "59000", "--tmin", "0.1", "--tmax", "10",
+        "--em-nsteps", "48", "--sampler", "neuralnet",
+    ])
+    out = np.load(tmp_path / "nn_result.npz")
+    mej = out["posterior_log10_mej"]
+    assert len(mej) == 20000
+    # the amortized posterior concentrates around the truth
+    assert abs(np.median(mej) - truth["log10_mej"]) < 0.35, np.median(mej)
+    assert np.std(mej) < 0.45
