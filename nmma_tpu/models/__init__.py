@@ -1,5 +1,6 @@
 from .base import (MODEL_PARAMETERS, DetectorLightCurveModel, SourceModel,
                    get_source_model, register_source_model)
+from .spectral import (make_spectral_source_model, spectral_model_from_file)
 
 __all__ = [
     "MODEL_PARAMETERS",
@@ -7,4 +8,6 @@ __all__ = [
     "SourceModel",
     "get_source_model",
     "register_source_model",
+    "make_spectral_source_model",
+    "spectral_model_from_file",
 ]

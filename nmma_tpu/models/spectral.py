@@ -1,0 +1,139 @@
+"""Spectral time-series source models (the sncosmo-SN architecture).
+
+Counterpart of ``SupernovaLightCurveModel`` (nmma/em/model.py:1061-1227):
+the reference wraps sncosmo templates (nugent-hyper, salt2, ...) whose
+spectral data files are gated offline, so what this module provides is
+the full *architecture* with the template as input: any (phase,
+wavelength, flux) grid — a sncosmo-format 3-column ASCII template, a
+POSSIS/Kasen/LANL spectrum from ``io.radiative``, or a synthetic grid —
+becomes a registered source model with
+
+* proper K-corrections: magnitudes are evaluated at the *host-frame*
+  filter frequencies from the spectrum itself (no effective-wavelength
+  approximation),
+* peak-magnitude anchoring: the template's arbitrary amplitude is pinned
+  so its rest-frame peak in the anchor band equals M_REF = -19.35
+  (reference ``_anchor_amplitude``), with the sampled
+  ``supernova_mag_boost`` offsetting it (sncosmo-generic.prior),
+* inf outside the template phase range (the model-validity convention).
+
+Everything static lives in [T_phase, W] log-flux tensors; the per-sample
+work is two hat-basis interpolations (wavelength, then the detector
+assembly's time interpolation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import c_cgs as C_CGS
+from ..ops.interp import masked_interp_sorted_fill
+from .base import SourceModel, register_source_model
+
+_AB_ZP_CGS = 3631e-23      # erg/s/cm^2/Hz
+M_REF = -19.35             # reference peak absolute magnitude anchor
+_ANCHOR_WAVE_AA = 4380.0   # Bessell-B-like anchor wavelength
+
+
+def load_sncosmo_ascii_template(path):
+    """(phase[T], wave_aa[W], flam[T, W]) from a sncosmo-style 3-column
+    ASCII template (phase, wavelength [AA], f_lambda rows)."""
+    raw = np.loadtxt(path)
+    phases = np.unique(raw[:, 0])
+    waves = np.unique(raw[:, 1])
+    flam = np.full((len(phases), len(waves)), np.nan)
+    pi = np.searchsorted(phases, raw[:, 0])
+    wi = np.searchsorted(waves, raw[:, 1])
+    flam[pi, wi] = raw[:, 2]
+    if np.isnan(flam).any():
+        raise ValueError(f"{path}: template grid is not rectangular")
+    return phases, waves, flam
+
+
+def make_spectral_source_model(name, phase_days, wave_aa, flam,
+                               anchor=True, extra_parameters=()):
+    """Register a spectral time-series source model.
+
+    Parameters
+    ----------
+    phase_days : [T] rest-frame phases (days, relative to explosion)
+    wave_aa : [W] wavelengths (Angstrom)
+    flam : [T, W] spectral flux density (erg/s/cm^2/AA at any distance —
+        amplitude is re-anchored unless ``anchor=False``)
+    anchor : pin the rest-frame anchor-band peak to M_REF (skip for
+        SALT-style templates whose amplitude is sampled).
+    """
+    phase = np.asarray(phase_days, dtype=np.float64)
+    wave = np.asarray(wave_aa, dtype=np.float64)
+    flam = np.asarray(flam, dtype=np.float64)
+
+    # f_nu [T, W] and AB magnitudes on the template grid
+    fnu = flam * (wave[None, :] ** 2 * 1e-8) / C_CGS
+    with np.errstate(divide="ignore"):
+        mag_grid = -2.5 * np.log10(np.maximum(fnu, 1e-300) / _AB_ZP_CGS)
+    mag_grid[fnu <= 0] = np.inf
+
+    offset = 0.0
+    if anchor:
+        anchor_mags = np.array([
+            np.interp(_ANCHOR_WAVE_AA, wave, row) for row in mag_grid])
+        finite = np.isfinite(anchor_mags)
+        if not finite.any():
+            raise ValueError("anchor wavelength outside the template")
+        offset = M_REF - float(np.min(anchor_mags[finite]))
+    mag_grid = mag_grid + offset
+
+    log_nu_grid = np.log(C_CGS / (wave * 1e-8))[::-1]          # ascending
+    mag_grid_nu = np.ascontiguousarray(mag_grid[:, ::-1])      # [T, W]
+    phase_j = jnp.asarray(phase)
+    log_nu_j = jnp.asarray(log_nu_grid)
+    mag_j = jnp.asarray(np.nan_to_num(mag_grid_nu, posinf=np.inf))
+
+    def mags_fn(params, t_days, nu_host):
+        boost = jnp.asarray(params.get("supernova_mag_boost", 0.0))
+        log_nu_q = jnp.log(jnp.asarray(nu_host))               # [F]
+
+        # wavelength interpolation at the host-frame frequencies: the
+        # spectrum itself supplies the K-correction
+        def per_phase(row):
+            return masked_interp_sorted_fill(log_nu_q, log_nu_j, row,
+                                             jnp.inf)
+        mag_ft = jax.vmap(per_phase)(mag_j).T                  # [F, T_tpl]
+
+        def per_filter(row):
+            return masked_interp_sorted_fill(jnp.asarray(t_days), phase_j,
+                                             row, jnp.inf)
+        return jax.vmap(per_filter)(mag_ft) + boost            # [F, T]
+
+    model = SourceModel(
+        name=name,
+        parameter_names=("supernova_mag_boost",) + tuple(extra_parameters),
+        mags_fn=mags_fn,
+        default_time_grid=lambda: np.asarray(
+            np.clip(phase, max(phase[0], 1e-3), None)),
+        citation="spectral time-series template (sncosmo-architecture "
+                 "counterpart, nmma/em/model.py:1061-1227)",
+    )
+    register_source_model(model)
+    return model
+
+
+def spectral_model_from_file(name, path, anchor=True):
+    """Template file -> registered model: sncosmo 3-column ASCII, or a
+    POSSIS .h5/ascii spectrum (first viewing angle)."""
+    if path.endswith((".h5", ".hdf5")):
+        from ..io.radiative import read_possis_h5
+        time, _, wave, i_stokes, _ = read_possis_h5(path)
+        return make_spectral_source_model(name, time, wave, i_stokes[0],
+                                          anchor=anchor)
+    try:
+        phase, wave, flam = load_sncosmo_ascii_template(path)
+    except ValueError:
+        from ..io.radiative import read_possis_ascii
+        time, _, wave, flux = read_possis_ascii(path)
+        return make_spectral_source_model(name, time, wave[0], flux[0],
+                                          anchor=anchor)
+    return make_spectral_source_model(name, phase, wave, flam,
+                                      anchor=anchor)
