@@ -134,13 +134,39 @@ class GWTransientLikelihood:
                  distance_marginalization=False,
                  distance_prior=None, distance_bounds=(10.0, 500.0),
                  n_distance=256, time_marginalization=False,
-                 time_prior_bounds=(-0.1, 0.1)):
+                 time_prior_bounds=(-0.1, 0.1), calibration_draws=None):
         self.ifos = list(interferometers)
         self.waveform = waveform
         self.trigger_time = float(trigger_time)
         self.phase_marginalization = bool(phase_marginalization)
         self.distance_marginalization = bool(distance_marginalization)
         self.time_marginalization = bool(time_marginalization)
+        # calibration marginalization (reference counterpart: bilby's
+        # calibration-lookup marginalization through gw_likelihood.py):
+        # per-ifo complex response-error draws [D, F]; the likelihood is
+        # logmeanexp over the D joint draws
+        self.calibration_marginalization = calibration_draws is not None
+        self._cal = []
+        if calibration_draws is not None:
+            n_draws = {np.asarray(calibration_draws[ifo.name]).shape[0]
+                       for ifo in self.ifos
+                       if ifo.name in calibration_draws}
+            if len(n_draws) > 1:
+                raise ValueError("calibration draws must share a draw count")
+            self.n_cal_draws = n_draws.pop() if n_draws else 1
+            for ifo in self.ifos:
+                draws = calibration_draws.get(ifo.name)
+                if draws is None:
+                    cal = np.ones((self.n_cal_draws, len(ifo.frequencies)),
+                                  dtype=np.complex128)
+                else:
+                    cal = np.asarray(draws, dtype=np.complex128)
+                    if cal.shape[1] != len(ifo.frequencies):
+                        raise ValueError(
+                            f"{ifo.name}: {cal.shape[1]} calibration "
+                            f"frequencies != {len(ifo.frequencies)}")
+                self._cal.append((jnp.asarray(cal.real),
+                                  jnp.asarray(cal.imag)))
         if self.distance_marginalization:
             grid = np.linspace(distance_bounds[0], distance_bounds[1],
                                n_distance)
@@ -202,6 +228,8 @@ class GWTransientLikelihood:
     def log_likelihood_ratio(self, parameters):
         if self.time_marginalization:
             return self._time_marginalized_logl(parameters)
+        if self.calibration_marginalization:
+            return self._calibration_marginalized_logl(parameters)
         d_inner_h = jnp.asarray(0.0 + 0.0j)
         h_inner_h = jnp.asarray(0.0)
         for i, df in enumerate(self._df):
@@ -257,6 +285,42 @@ class GWTransientLikelihood:
             kernel = dh_t.real
         return jax.scipy.special.logsumexp(kernel + self._tm_log_w) - \
             0.5 * h_inner_h
+
+    def _calibration_marginalized_logl(self, parameters):
+        """logmeanexp over joint calibration-response draws; the phase
+        (analytic) and distance (grid) marginalizations broadcast over
+        the draw axis."""
+        n_d = self.n_cal_draws
+        d_inner_h = jnp.zeros(n_d, dtype=jnp.complex64)
+        h_inner_h = jnp.zeros(n_d)
+        for i, df in enumerate(self._df):
+            h_w = self._whitened_template(i, parameters)      # [F]
+            cal_re, cal_im = self._cal[i]
+            h_cal = h_w[None, :] * (cal_re + 1j * cal_im)     # [D, F]
+            d_re, d_im = self._white_data[i]
+            d_w = d_re + 1j * d_im
+            d_inner_h = d_inner_h + 4.0 * df * jnp.sum(
+                jnp.conj(d_w)[None, :] * h_cal, axis=1)
+            h_inner_h = h_inner_h + 4.0 * df * jnp.sum(
+                (jnp.conj(h_cal) * h_cal).real, axis=1)
+        log_w = -jnp.log(float(n_d))
+        if self.distance_marginalization:
+            ratio = jnp.asarray(parameters["luminosity_distance"]) / \
+                self._dist_grid                               # [G]
+            dh = d_inner_h[:, None] * ratio[None, :]
+            if self.phase_marginalization:
+                kernel = _log_i0(jnp.abs(dh))
+            else:
+                kernel = dh.real
+            logl = (kernel - 0.5 * h_inner_h[:, None] * ratio[None, :] ** 2
+                    + self._dist_log_w[None, :] + log_w)
+            return jax.scipy.special.logsumexp(logl)
+        if self.phase_marginalization:
+            kernel = _log_i0(jnp.abs(d_inner_h))
+        else:
+            kernel = d_inner_h.real
+        return jax.scipy.special.logsumexp(
+            kernel - 0.5 * h_inner_h + log_w)
 
     def log_likelihood(self, parameters):
         return self.log_likelihood_ratio(parameters)

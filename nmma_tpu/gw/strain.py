@@ -300,3 +300,43 @@ def interferometer_from_files(name, strain_file, trigger_time,
         psd = (tab[:, 0], tab[:, 1])
     return interferometer_from_data(name, series, trigger_time, psd=psd,
                                     **kwargs)
+
+
+def calibration_draws_from_envelope(envelope, frequencies, n_draws=100,
+                                    n_nodes=10, seed=0):
+    """Complex calibration-response draws [n_draws, F] from an
+    uncertainty envelope (the standard LVK calibration-envelope table:
+    frequency, amplitude median/lower/upper, phase median/lower/upper —
+    bilby's spline-calibration input).
+
+    Smooth draws: Gaussian node samples at ``n_nodes`` log-spaced
+    frequencies (sigma from the 68% envelope half-width), linearly
+    interpolated across the band — the draw set feeds
+    ``GWTransientLikelihood(calibration_draws=...)``.
+    """
+    if isinstance(envelope, str):
+        table = np.loadtxt(envelope)
+    else:
+        table = np.asarray(envelope)
+    f_env = table[:, 0]
+    amp_med, phase_med = table[:, 1], table[:, 2]
+    if table.shape[1] >= 7:
+        amp_sig = 0.5 * (table[:, 5] - table[:, 3])
+        phase_sig = 0.5 * (table[:, 6] - table[:, 4])
+    else:
+        amp_sig = np.full_like(amp_med, 0.05)
+        phase_sig = np.full_like(phase_med, 0.05)
+
+    freqs = np.asarray(frequencies)
+    nodes = np.geomspace(freqs[0], freqs[-1], n_nodes)
+    rng = np.random.default_rng(seed)
+    draws = np.empty((n_draws, len(freqs)), dtype=np.complex128)
+    for d in range(n_draws):
+        a_nodes = np.interp(nodes, f_env, amp_med) + \
+            rng.normal(size=n_nodes) * np.interp(nodes, f_env, amp_sig)
+        p_nodes = np.interp(nodes, f_env, phase_med) + \
+            rng.normal(size=n_nodes) * np.interp(nodes, f_env, phase_sig)
+        amp = np.interp(freqs, nodes, a_nodes)
+        phase = np.interp(freqs, nodes, p_nodes)
+        draws[d] = amp * np.exp(1j * phase)
+    return draws

@@ -204,3 +204,49 @@ def test_fiducial_search_finds_peak(injected_ifos):
     rb = RelativeBinningGWLikelihood(ifos, fid, waveform=imrphenomd,
                                      trigger_time=trigger)
     assert np.isfinite(float(rb.log_likelihood_ratio(fid)))
+
+
+def test_calibration_marginalization(injected_ifos):
+    """Draw-based calibration marginalization: identity draws reproduce
+    the unmarginalized logL; envelope-scale uncertainty costs a bounded
+    amount of logL at the injection and stays finite."""
+    from nmma_tpu.gw.strain import calibration_draws_from_envelope
+    ifos, trigger = injected_ifos
+    base = GWTransientLikelihood(ifos, waveform=imrphenomd,
+                                 trigger_time=trigger)
+    l0 = float(base.log_likelihood_ratio(INJ))
+
+    ident = {ifo.name: np.ones((8, len(ifo.frequencies)),
+                               dtype=np.complex128) for ifo in ifos}
+    lk_id = GWTransientLikelihood(ifos, waveform=imrphenomd,
+                                  trigger_time=trigger,
+                                  calibration_draws=ident)
+    np.testing.assert_allclose(float(lk_id.log_likelihood_ratio(INJ)), l0,
+                               rtol=1e-4)
+
+    # synthetic envelope: ~3% amplitude, ~0.03 rad phase uncertainty
+    f_env = np.geomspace(10.0, 1000.0, 20)
+    env = np.column_stack([
+        f_env, np.ones_like(f_env), np.zeros_like(f_env),
+        np.full_like(f_env, 0.97), np.full_like(f_env, -0.03),
+        np.full_like(f_env, 1.03), np.full_like(f_env, 0.03)])
+    draws = {ifo.name: calibration_draws_from_envelope(
+        env, np.asarray(ifo.frequencies), n_draws=32, seed=3)
+        for ifo in ifos}
+    lk_cal = GWTransientLikelihood(ifos, waveform=imrphenomd,
+                                   trigger_time=trigger,
+                                   calibration_draws=draws)
+    l_cal = float(jax.jit(lk_cal.log_likelihood_ratio)(INJ))
+    snr = float(base.optimal_snr(INJ))
+    assert np.isfinite(l_cal)
+    # 3% response error on a rho~15-25 signal moves logL by
+    # O((0.03 rho)^2): a small cost, or a small gain when a draw fits
+    # the noise realisation better than the identity response
+    assert abs(l_cal - l0) < 3.0 * (0.05 * snr) ** 2 + 5.0, (l_cal, l0)
+
+    # composes with phase+distance marginalization
+    lk_all = GWTransientLikelihood(
+        ifos, waveform=imrphenomd, trigger_time=trigger,
+        calibration_draws=draws, phase_marginalization=True,
+        distance_marginalization=True, distance_bounds=(100.0, 3000.0))
+    assert np.isfinite(float(jax.jit(lk_all.log_likelihood_ratio)(INJ)))
