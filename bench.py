@@ -25,6 +25,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# the remote toolchain's FIRST Mosaic (Pallas) compile in a process has
+# been observed to take 170-750 s during service upgrades; the benchmark
+# defaults to the XLA Me2017 form (~25% slower steady-state, seconds to
+# compile) so the run is robust. NMMA_TPU_BENCH_PALLAS=1 restores the
+# Pallas kernel.
+if not os.environ.get("NMMA_TPU_BENCH_PALLAS"):
+    os.environ.setdefault("NMMA_TPU_DISABLE_PALLAS", "1")
+
 DATA = "/root/reference/example_files/lightcurves/AT2017gfo.dat"
 ME2017_PRIOR = "/root/reference/priors/Me2017.prior"
 SVD_ARTIFACT = os.path.join(REPO, "artifacts", "Bu2019lm_sparse_svd.npz")

@@ -144,13 +144,18 @@ class NestedSampler:
     def init_state(self, key=None) -> NSState:
         cfg = self.config
 
-        # one jitted program for the whole initialisation: on the axon
-        # remote backend every eager op is a round trip with high and
-        # highly variable latency (seconds each), and eager complex ops
-        # (GW likelihoods) are unimplemented there outright
-        def _init(seed_key):
+        # two jitted programs, not one: fusing the threefry PRNG with the
+        # likelihood into a single XLA program triggers a pathological
+        # compile on the TPU toolchain (~200-600 s observed for a program
+        # whose two halves compile in <5 s each). Each dispatch is still
+        # a single device round trip — eager op-by-op would be seconds
+        # per op on the remote backend, and eager complex ops (GW
+        # likelihoods) are unimplemented there outright.
+        def _draw(seed_key):
             key, sub = jax.random.split(seed_key)
-            u = jax.random.uniform(sub, (cfg.nlive, self.ndim))
+            return key, jax.random.uniform(sub, (cfg.nlive, self.ndim))
+
+        def _finish(key, u):
             logl = self.logl_fn(u)
             return NSState(
                 u_live=u, logl_live=logl,
@@ -166,7 +171,8 @@ class NestedSampler:
 
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
-        return jax.jit(_init)(key)
+        key, u = jax.jit(_draw)(key)
+        return jax.jit(_finish)(key, u)
 
     # ------------------------------------------------------------------
     def _replace_batch(self, key, u_live, logl_live, threshold, scale,

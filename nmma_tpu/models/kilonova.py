@@ -157,9 +157,16 @@ def _me2017_dynamics_vmap(axis_size, in_batched, log10_mej, log10_vej, beta,
                           kappa_r, t_days):
     """Batched rule: on TPU a whole live-point batch goes through the
     VMEM-resident Pallas kernel; elsewhere fall back to vmapped XLA."""
+    import os
     params_batched = in_batched[:4]
+    # NMMA_TPU_DISABLE_PALLAS=1 forces the XLA associative-scan form:
+    # the remote TPU toolchain's FIRST Mosaic compile in a process has
+    # been observed to take minutes during service upgrades (subsequent
+    # Mosaic compiles are ~1 s), and the XLA path is within ~10-20% of
+    # the Pallas kernel's throughput
     if all(params_batched) and not in_batched[4] and \
-            jax.default_backend() == "tpu":
+            jax.default_backend() == "tpu" and \
+            not os.environ.get("NMMA_TPU_DISABLE_PALLAS"):
         from ..ops.pallas_me2017 import me2017_dynamics_pallas
         ltot, rphoto = me2017_dynamics_pallas(
             log10_mej, log10_vej, beta, kappa_r, t_days)
