@@ -2,6 +2,7 @@ from .detectors import Detector, get_detector
 from .likelihood import GWTransientLikelihood, InterferometerData
 from .phenomd import imrphenomd, imrphenomd_nrtidalv2
 from .relative_binning import RelativeBinningGWLikelihood
+from .roq import ROQBasis, ROQGWLikelihood, build_roq_bases
 from .waveforms import taylorf2_tidal
 
 #: selectable frequency-domain waveform families (reference counterpart:
@@ -25,4 +26,5 @@ def get_waveform(name):
 __all__ = ["Detector", "get_detector", "GWTransientLikelihood",
            "RelativeBinningGWLikelihood", "InterferometerData",
            "taylorf2_tidal", "imrphenomd", "imrphenomd_nrtidalv2",
+           "ROQBasis", "ROQGWLikelihood", "build_roq_bases",
            "WAVEFORM_MODELS", "get_waveform"]
