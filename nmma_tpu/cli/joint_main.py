@@ -516,10 +516,28 @@ def nmma_analysis(cli_args=None):
 
     idx = result.posterior_indices()
     post = priors.transform(jnp.asarray(result.samples_u[idx]))
+    # posterior conversion (reference posterior_conversion +
+    # gw chi_eff/lambda_tilde columns, nmma/gw/gw_likelihood.py:214-235):
+    # run the sampled posterior through the joint conversion chain and
+    # keep every derived 1-D column (source-frame masses, tidal
+    # combinations, EOS macro quantities, ejecta masses, ...)
+    converted = jax.jit(jax.vmap(
+        lambda row: likelihood.conversion(
+            {k: row[i] for i, k in enumerate(sorted(post.keys()))})))(
+        jnp.stack([jnp.asarray(post[k]) for k in sorted(post.keys())],
+                  axis=1))
+    derived = {}
+    n_post = len(np.asarray(post[next(iter(post))]))
+    for k, v in converted.items():
+        arr = np.asarray(v)
+        if k not in post and arr.ndim == 1 and len(arr) == n_post:
+            derived[k] = arr
     np.savez(os.path.join(args.outdir, f"{args.label}_result.npz"),
              logz=result.logz, logz_err=result.logz_err, ncall=result.ncall,
-             **{f"posterior_{k}": np.asarray(v) for k, v in post.items()})
-    print(f"log-evidence: {result.logz:.3f} +/- {result.logz_err:.3f}")
+             **{f"posterior_{k}": np.asarray(v) for k, v in post.items()},
+             **{f"posterior_{k}": v for k, v in derived.items()})
+    print(f"log-evidence: {result.logz:.3f} +/- {result.logz_err:.3f} "
+          f"({len(derived)} derived posterior columns)")
     return result
 
 

@@ -57,7 +57,9 @@ def set_filters(filters=None, em_detectors=None, rubin_too_type=None):
         dets.remove("rubin")
         out.extend(["ps1::g", "ps1::r", "ps1::i", "ps1::z", "ps1::y"])
     if dets:
-        raise NotImplementedError(f"{dets} not implemented yet.")
+        raise ValueError(
+            f"unknown EM detectors {sorted(dets)}; supported: ztf, lsst, "
+            f"rubin (reference detector sets, nmma/em/utils.py:96-196)")
     return out or None
 
 
