@@ -179,3 +179,52 @@ def test_eos_mr_band_plot(tmp_path):
     eos_set = load_macro_eos_set("/root/reference/nmma/tests/data/eos_macro")
     out = eos_mr_band_plot(eos_set, save_path=str(tmp_path / "mr.png"))
     assert os.path.getsize(out) > 10000
+
+
+def test_tov_emulator_accuracy_and_conversion(tmp_path):
+    """NEP -> macro TOV emulator (reference EoSConverter('emulated')):
+    held-out accuracy vs the real TOV solve, conversion-step semantics,
+    and save/load round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from nmma_tpu.eos.emulator import (TOVEmulator, _macro_targets,
+                                       train_tov_emulator)
+    from nmma_tpu.eos.generation import crust_from_micro_table
+
+    crust = crust_from_micro_table(np.loadtxt(MICRO))
+    emu = train_tov_emulator(crust, n_train=72, n_epochs=3000, seed=1)
+
+    rng = np.random.default_rng(9)
+    worst_mtov = worst_r = 0.0
+    for _ in range(4):
+        s0 = rng.uniform(29.0, 35.0)
+        l_sym = rng.uniform(35.0, 85.0)
+        mtov_t, radii_t, loglam_t = _macro_targets(s0, l_sym, crust,
+                                                   emu.x_grid)
+        mtov_p, radii_p, loglam_p = map(np.asarray, emu.forward(
+            jnp.asarray([s0, l_sym], dtype=jnp.float32)))
+        worst_mtov = max(worst_mtov, abs(mtov_p - mtov_t) / mtov_t)
+        worst_r = max(worst_r, float(np.max(np.abs(radii_p - radii_t)
+                                            / radii_t)))
+    assert worst_mtov < 0.02, worst_mtov
+    assert worst_r < 0.03, worst_r
+
+    # conversion step inside a jit, including the BH branch
+    conv = jax.jit(emu.__call__)
+    out = conv({"S0": 32.0, "L": 60.0, "mass_1_source": 1.4,
+                "mass_2_source": 1.3})
+    assert float(out["TOV_mass"]) > 1.5
+    assert 8.0 < float(out["R_14"]) < 16.0
+    assert float(out["lambda_1"]) > 10.0
+    out_bh = conv({"S0": 32.0, "L": 60.0, "mass_1_source": 5.0,
+                   "mass_2_source": 1.3})
+    assert float(out_bh["radius_1"]) == 0.0
+    assert float(out_bh["lambda_1"]) == 0.0
+
+    path = tmp_path / "emulator.npz"
+    emu.save(str(path))
+    back = TOVEmulator.load(str(path))
+    a = np.asarray(emu.forward(jnp.asarray([32.0, 60.0]))[1])
+    b = np.asarray(back.forward(jnp.asarray([32.0, 60.0]))[1])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
