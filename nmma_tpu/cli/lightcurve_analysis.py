@@ -73,8 +73,15 @@ def _single_run(args):
         detection_limit=args.detection_limit,
         remove_nondetections=args.remove_nondetections,
         outdir=args.outdir, label=args.label,
-        model_kwargs={"grb_resolution": args.grb_resolution,
-                      "jet_type": args.jet_type},
+        model_kwargs={k: v for k, v in {
+            "grb_resolution": args.grb_resolution,
+            "jet_type": args.jet_type,
+            "n_theta": getattr(args, "grb_ntheta", None),
+            "n_phi": getattr(args, "grb_nphi", None),
+            "n_r": getattr(args, "grb_nr", None),
+            "spread": False if getattr(args, "grb_no_spread", False)
+            else None,
+        }.items() if v is not None},
         sampler=sampler_config_from_args(args),
     )
     if getattr(args, "fetch_Ebv_from_dustmap", False):

@@ -176,6 +176,15 @@ def base_analysis_parser(description=""):
     p.add_argument("--jet-type", type=int, default=0, choices=[-1, 0, 4],
                    help="afterglow jet structure: 0 Gaussian, -1 tophat, "
                         "4 power-law (reference em_parsing.py:424)")
+    p.add_argument("--grb-ntheta", type=int, default=None,
+                   help="afterglow ring count (default 32; doubling moves "
+                        "mags < 0.01 on the GW170817 config)")
+    p.add_argument("--grb-nphi", type=int, default=None)
+    p.add_argument("--grb-nr", type=int, default=None,
+                   help="afterglow radial grid (default 256)")
+    p.add_argument("--grb-no-spread", action="store_true",
+                   help="disable lateral spreading (afterglowpy default "
+                        "is ON)")
     p.add_argument("--detection-limit", type=float, default=np.inf)
     p.add_argument("--remove-nondetections", action="store_true")
     p.add_argument("--injection", type=str, default=None,
