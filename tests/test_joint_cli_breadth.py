@@ -213,3 +213,44 @@ def test_full_breadth_joint_assembly(tmp_path):
     point = _fill_from_priors(dict(payload["fiducial"]), priors)
     logl = float(jax.jit(likelihood.log_likelihood)(point))
     assert np.isfinite(logl) and logl > -1e29
+
+
+def test_joint_result_has_derived_columns(tmp_path):
+    """nmma-analysis writes conversion-derived posterior columns
+    (reference posterior_conversion: source-frame masses, tidal
+    deformabilities, EOS macro quantities, ejecta masses)."""
+    from nmma_tpu.cli.joint_main import nmma_analysis, nmma_generation
+    from nmma_tpu.injections import write_injection_file
+
+    inj = tmp_path / "inj.json"
+    write_injection_file(inj, {
+        "chirp_mass": [1.1977], "mass_ratio": [0.9],
+        "luminosity_distance": [40.0], "EOS": [4.2], "ratio_zeta": [0.3],
+        "alpha": [5e-5], "theta_jn": [0.4], "phase": [1.3], "psi": [1.5],
+        "ra": [3.446], "dec": [-0.408], "geocent_time": [0.0],
+        "timeshift": [0.0]})
+    prior = tmp_path / "p.prior"
+    prior.write_text(
+        "chirp_mass = Uniform(minimum=1.19, maximum=1.21)\n"
+        "mass_ratio = Uniform(minimum=0.75, maximum=1.0)\n"
+        "luminosity_distance = Uniform(minimum=20., maximum=80.)\n"
+        "EOS = Uniform(minimum=0., maximum=10.)\n"
+        "ratio_zeta = 0.3\nalpha = 5e-5\ntheta_jn = 0.4\nphase = 1.3\n"
+        "psi = 1.5\nra = 3.446\ndec = -0.408\ngeocent_time = 0.0\n"
+        "timeshift = 0.0\n")
+    dump = nmma_generation([
+        "--outdir", str(tmp_path), "--label", "dc",
+        "--prior-file", str(prior), "--injection-file", str(inj),
+        "--eos-data", MACRO_DIR, "--duration", "16.0",
+        "--minimum-frequency", "30.0", "--maximum-frequency", "512.0",
+        "--gw-detectors", "H1,L1"])
+    nmma_analysis(["--data-dump", dump, "--outdir", str(tmp_path),
+                   "--label", "dc", "--nlive", "64", "--walks", "8",
+                   "--dlogz", "2.0", "--max-iter", "60"])
+    z = np.load(tmp_path / "dc_result.npz")
+    cols = {k for k in z.files if k.startswith("posterior_")}
+    for needed in ("posterior_mass_1_source", "posterior_lambda_1",
+                   "posterior_TOV_mass", "posterior_R_14",
+                   "posterior_log10_mej_dyn"):
+        assert needed in cols, needed
+    assert np.isfinite(z["posterior_TOV_mass"]).all()
