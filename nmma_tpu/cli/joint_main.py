@@ -534,6 +534,7 @@ def nmma_analysis(cli_args=None):
             derived[k] = arr
     np.savez(os.path.join(args.outdir, f"{args.label}_result.npz"),
              logz=result.logz, logz_err=result.logz_err, ncall=result.ncall,
+             posterior_log_likelihood=result.logl[idx],
              **{f"posterior_{k}": np.asarray(v) for k, v in post.items()},
              **{f"posterior_{k}": v for k, v in derived.items()})
     print(f"log-evidence: {result.logz:.3f} +/- {result.logz_err:.3f} "
