@@ -159,3 +159,36 @@ def test_waveform_registry_and_likelihood_peak():
     # the injected parameters beat nearby offsets (likelihood peaks there)
     assert float(lk.log_likelihood_ratio({**inj, "mass_1": 1.481})) < logl
     assert float(lk.log_likelihood_ratio({**inj, "lambda_1": 800.0})) < logl
+
+
+def test_jit_eager_and_vmap_loop_equality():
+    """JAX-discipline checks (SURVEY §4): jit == eager and vmap == loop
+    for the new waveform families."""
+    f = np.linspace(25.0, 512.0, 256)
+    base = dict(mass_1=1.48, mass_2=1.26, chi_1=0.02, chi_2=-0.01,
+                lambda_1=300.0, lambda_2=500.0, luminosity_distance=40.0,
+                theta_jn=0.4, phase=1.3)
+    def close(a, b, phase_tol=0.05):
+        """Amplitude to 1e-3 relative; phase to ``phase_tol`` rad (the
+        f32 phases are ~1e4 rad, so op reordering under jit/vmap moves
+        the raw complex values at the ~1e-3-relative level)."""
+        a, b = np.asarray(a), np.asarray(b)
+        sel = (np.abs(a) > 0) & (np.abs(b) > 0)
+        np.testing.assert_allclose(np.abs(a)[sel], np.abs(b)[sel],
+                                   rtol=1e-3)
+        dphi = np.angle(a[sel] * np.conj(b[sel]))
+        assert np.max(np.abs(dphi)) < phase_tol, np.max(np.abs(dphi))
+
+    for wf in (imrphenomd, imrphenomd_nrtidalv2):
+        hp_e, hx_e = wf(f, base)
+        hp_j, hx_j = jax.jit(lambda p: wf(f, p))(base)
+        close(hp_j, hp_e)
+        close(hx_j, hx_e)
+
+    masses = np.linspace(1.46, 1.50, 5)
+    def one(m):
+        return imrphenomd_nrtidalv2(f, {**base, "mass_1": m})[0]
+    batched = np.asarray(jax.vmap(one)(jnp.asarray(masses)))
+    looped = np.stack([np.asarray(one(jnp.asarray(m))) for m in masses])
+    for row_b, row_l in zip(batched, looped):
+        close(row_b, row_l)
