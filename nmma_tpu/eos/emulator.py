@@ -60,8 +60,12 @@ class TOVEmulator:
         mtov, radii, loglam = self.forward(theta)
         p["TOV_mass"] = mtov
         grid = jnp.asarray(self.x_grid)
-        p["R_14"] = jnp.interp(1.4 / mtov, grid, radii)
-        p["R_16"] = jnp.interp(1.6 / mtov, grid, radii)
+        # no NS of that mass exists when MTOV < 1.4 (1.6): NaN, matching
+        # the BH masking applied to radius_i/lambda_i below
+        p["R_14"] = jnp.where(mtov >= 1.4,
+                              jnp.interp(1.4 / mtov, grid, radii), jnp.nan)
+        p["R_16"] = jnp.where(mtov >= 1.6,
+                              jnp.interp(1.6 / mtov, grid, radii), jnp.nan)
         p["TOV_radius"] = radii[-1]
         if "mass_1_source" in p:
             for i in (1, 2):

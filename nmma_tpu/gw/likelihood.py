@@ -146,6 +146,14 @@ class GWTransientLikelihood:
         # per-ifo complex response-error draws [D, F]; the likelihood is
         # logmeanexp over the D joint draws
         self.calibration_marginalization = calibration_draws is not None
+        if self.calibration_marginalization and self.time_marginalization:
+            # log_likelihood_ratio branches to the time-marginalized path
+            # first, which never applies the calibration draws — refuse
+            # instead of silently dropping the requested marginalization
+            raise ValueError(
+                "time_marginalization together with calibration_draws is "
+                "not supported: marginalize time numerically via the prior "
+                "or drop one of the two")
         self._cal = []
         if calibration_draws is not None:
             n_draws = {np.asarray(calibration_draws[ifo.name]).shape[0]

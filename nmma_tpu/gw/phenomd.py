@@ -242,8 +242,10 @@ def _tf2_phasing(eta, seta, chi1, chi2):
               + seta * (-732985.0 / 2268.0 - 140.0 / 9.0 * eta) * chi_a
               + (-732985.0 / 2268.0 + 24260.0 / 81.0 * eta
                  + 340.0 / 9.0 * eta2) * chi_s)
+    # constant piece of the -6848/63*ln(64 v^3) log term: -6848/21*ln 4
+    # (LAL XLALSimInspiralPNPhasing_F2 pfa->v[6]; Buonanno+09 eq. 3.18)
     phi[6] = (11583231236531.0 / 4694215680.0 - 6848.0 / 21.0 * _EULER_GAMMA
-              - 640.0 / 3.0 * pi2 - 6848.0 / 63.0 * jnp.log(4.0)
+              - 640.0 / 3.0 * pi2 - 6848.0 / 21.0 * jnp.log(4.0)
               + eta * (-15737765635.0 / 3048192.0 + 2255.0 / 12.0 * pi2)
               + 76055.0 / 1728.0 * eta2 - 127825.0 / 1296.0 * eta3
               + _PI * (2270.0 / 3.0 * seta * chi_a

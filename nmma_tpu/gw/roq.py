@@ -233,7 +233,8 @@ class ROQGWLikelihood:
         # (1/PSD) and overflow f32; weights carry amp_scale powers and
         # templates are divided by amp_scale at evaluation
         d0 = np.abs(np.asarray(self.ifos[0].strain))
-        self._amp_scale = float(np.median(d0[d0 > 0])) or 1e-22
+        vals = d0[d0 > 0]
+        self._amp_scale = float(np.median(vals)) if vals.size else 1e-22
 
         self._lin_w = []    # [m] complex weights per ifo (scaled)
         self._quad_w = []   # [q] real weights per ifo (scaled)

@@ -64,12 +64,14 @@ def taylorf2_tidal(frequencies, params):
     phi4 = (15293365.0 / 508032.0 + 27145.0 / 504.0 * eta
             + 3085.0 / 72.0 * eta * eta)
     phi5_coeff = jnp.pi * (38645.0 / 756.0 - 65.0 / 9.0 * eta)
+    # log term is -6848/63*ln(64 v^3) = -6848/21*(ln 4 + ln v)
+    # (LAL XLALSimInspiralPNPhasing_F2 pfa->v[6]/vlogv[6])
     phi6 = (11583231236531.0 / 4694215680.0 - 640.0 / 3.0 * jnp.pi**2
             - 6848.0 / 21.0 * _EULER_GAMMA
             + eta * (-15737765635.0 / 3048192.0 + 2255.0 / 12.0 * jnp.pi**2)
             + 76055.0 / 1728.0 * eta**2 - 127825.0 / 1296.0 * eta**3
-            - 6848.0 / 63.0 * jnp.log(4.0))
-    phi6_log = -6848.0 / 63.0
+            - 6848.0 / 21.0 * jnp.log(4.0))
+    phi6_log = -6848.0 / 21.0
     phi7 = jnp.pi * (77096675.0 / 254016.0 + 378515.0 / 1512.0 * eta
                      - 74045.0 / 756.0 * eta**2)
 

@@ -45,7 +45,10 @@ def test_qnm_schwarzschild_limit():
 
 
 def test_phenomd_matches_taylorf2_in_inspiral():
-    f = np.linspace(20.0, 40.0, 200)
+    # wide band (20-100 Hz): a 3PN-coefficient disagreement between the
+    # two independent phasing transcriptions cannot hide in the linear
+    # (time/phase gauge) detrend over this lever arm (round-2 ADVICE)
+    f = np.linspace(20.0, 100.0, 600)
     p = dict(mass_1=1.4, mass_2=1.4, luminosity_distance=40.0,
              theta_jn=0.0, phase=0.0)
     hp_d, _ = imrphenomd(f, p)
