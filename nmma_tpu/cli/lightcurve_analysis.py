@@ -43,6 +43,32 @@ def _single_run(args):
         source = make_svd_source_model(model_name, svd,
                                        mag_ncoeff=args.svd_mag_ncoeff)
         model_name = source.name
+    else:
+        # fiesta surrogate resolution: unknown model names fall through
+        # to the fiesta surrogates directory (reference --em-model with
+        # FiestaKilonovaModel/FiestaGRBModel, nmma/em/model.py:734-888)
+        import os as _os
+
+        from ..models.base import get_source_model
+        from ..models.fiesta import (FIESTA_ENV, load_fiesta_surrogate,
+                                     make_fiesta_source_model)
+        fiesta_dir = getattr(args, "fiesta_surrogates_dir", None) or \
+            _os.environ.get(FIESTA_ENV)
+        try:
+            get_source_model(model_name)
+            known = True
+        except KeyError:
+            known = False
+        if not known and fiesta_dir:
+            try:
+                fdata = load_fiesta_surrogate(
+                    model_name, fiesta_dir,
+                    filters=args.filters.split(",") if args.filters
+                    else None)
+            except FileNotFoundError:
+                fdata = None
+            if fdata is not None:
+                make_fiesta_source_model(model_name, fdata)
 
     data = None
     trigger_time = args.trigger_time or 0.0

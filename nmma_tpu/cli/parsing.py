@@ -85,6 +85,11 @@ def base_analysis_parser(description=""):
     p.add_argument("--svd-path", type=str, default=None,
                    help="Path to the SVD surrogate .npz")
     p.add_argument("--svd-mag-ncoeff", type=int, default=10)
+    p.add_argument("--fiesta-surrogates-dir", type=str, default=None,
+                   help="fiesta surrogate root (default "
+                        "$NMMA_FIESTA_SURROGATES); --model names not in "
+                        "the builtin registry resolve here (reference "
+                        "FiestaKilonovaModel/FiestaGRBModel)")
     p.add_argument("--outdir", type=str, default="outdir")
     p.add_argument("--label", type=str, default="injection")
     p.add_argument("--prior", type=str, help="bilby-style .prior file")

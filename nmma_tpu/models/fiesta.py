@@ -1,0 +1,425 @@
+"""Fiesta surrogate family: flax-MLP/CVAE light-curve + flux surrogates.
+
+TPU-native counterpart of the reference's current-generation surrogate
+path — ``FiestaModel`` / ``FiestaKilonovaModel`` / ``FiestaGRBModel``
+(``nmma/em/model.py:411-491,734-801,846-888``), which wrap the external
+``fiesta`` package (JAX surrogates trained on Bulla radiative-transfer
+grids and afterglowpy; distributed via
+huggingface.co/nuclear-multimessenger-astronomy/fiesta-surrogates and
+located through ``$NMMA_FIESTA_SURROGATES``, reference CI
+``.github/workflows/continous_integration.yml:81-88``).
+
+Design here is NOT a fiesta wrapper: the surrogate is ingested once into
+plain stacked arrays and evaluated by the same fused batched machinery as
+the SVD family —
+
+* ``kind="lightcurve"`` (fiesta ``BullaLightcurveModel``): one MLP per
+  filter mapping normalized parameters to the absolute-magnitude time
+  series; all per-filter nets stack into ``[F, in, out]`` tensors so a
+  live-point batch is a chain of MXU matmuls.
+* ``kind="flux"`` (fiesta ``BullaFlux`` / ``AfterglowFlux``): a single
+  network mapping normalized parameters to ``log10 F_nu`` on a fixed
+  ``[Nu, T]`` grid (mJy at 10 pc, source frame); filter magnitudes are
+  read off by interpolation along the frequency axis at the redshifted
+  filter frequencies (upgradeable to transmission-integrals).
+* CVAE decoders reduce to the same MLP form at inference time: the latent
+  input is the prior mean (zeros), so the latent columns of the first
+  kernel drop and the decoder becomes a plain parameter->output MLP.
+
+The detector-frame assembly (redshift stretch, timeshift, distance
+modulus, extinction) stays in ``DetectorLightCurveModel`` — fiesta's
+internal handling of those (reference ``FiestaModel.combine_lc_params``)
+is not duplicated, so fiesta surrogates compose with every likelihood and
+with the GRB+KN stacking exactly like any other source model.
+
+Two on-disk formats load:
+  1. the native ``.npz`` written by :meth:`FiestaSurrogateData.save`;
+  2. best-effort ingestion of fiesta's own artifact directories
+     (pickled metadata + flax-msgpack network weights) via
+     :func:`ingest_fiesta_directory` — the layout follows fiesta's
+     save conventions and fails with a clear message on drift.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import SourceModel, register_source_model
+
+FIESTA_ENV = "NMMA_FIESTA_SURROGATES"
+
+
+@dataclass(frozen=True)
+class FiestaSurrogateData:
+    """Stacked surrogate tensors for one fiesta-style model."""
+
+    name: str
+    kind: str                       # "lightcurve" | "flux"
+    parameter_names: tuple          # P names, network input order
+    parameter_distributions: dict   # name -> (lo, hi) trained support
+    times: np.ndarray               # [T] source-frame days
+    x_min: np.ndarray               # [P] input min-max scaler
+    x_max: np.ndarray               # [P]
+    # layer weights, input->output order. lightcurve: per-filter stacks
+    # [F, d_in, d_out]; flux: single network [d_in, d_out].
+    kernels: tuple
+    biases: tuple
+    y_min: np.ndarray               # output scaler; lightcurve [F, T],
+    y_max: np.ndarray               # flux [Nu*T] (or broadcastable)
+    filters: tuple | None = None    # lightcurve kind
+    nus: np.ndarray | None = None   # [Nu] Hz, flux kind
+
+    def __post_init__(self):
+        if self.kind not in ("lightcurve", "flux"):
+            raise ValueError(f"unknown fiesta surrogate kind {self.kind!r}")
+        if self.kind == "lightcurve" and not self.filters:
+            raise ValueError("lightcurve surrogate needs filters")
+        if self.kind == "flux" and self.nus is None:
+            raise ValueError("flux surrogate needs a frequency grid")
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path):
+        meta = {
+            "name": self.name,
+            "kind": self.kind,
+            "parameter_names": list(self.parameter_names),
+            "parameter_distributions": {
+                k: [float(v[0]), float(v[1])]
+                for k, v in self.parameter_distributions.items()},
+            "filters": list(self.filters) if self.filters else None,
+            "n_layers": len(self.kernels),
+        }
+        arrays = {
+            "meta_json": np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8),
+            "times": self.times, "x_min": self.x_min, "x_max": self.x_max,
+            "y_min": self.y_min, "y_max": self.y_max,
+        }
+        if self.nus is not None:
+            arrays["nus"] = self.nus
+        for i, (k, b) in enumerate(zip(self.kernels, self.biases)):
+            arrays[f"kernel_{i}"] = k
+            arrays[f"bias_{i}"] = b
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path):
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(z["meta_json"]).decode())
+        n = int(meta["n_layers"])
+        return cls(
+            name=meta["name"], kind=meta["kind"],
+            parameter_names=tuple(meta["parameter_names"]),
+            parameter_distributions={
+                k: tuple(v)
+                for k, v in meta["parameter_distributions"].items()},
+            times=z["times"], x_min=z["x_min"], x_max=z["x_max"],
+            kernels=tuple(z[f"kernel_{i}"] for i in range(n)),
+            biases=tuple(z[f"bias_{i}"] for i in range(n)),
+            y_min=z["y_min"], y_max=z["y_max"],
+            filters=tuple(meta["filters"]) if meta["filters"] else None,
+            nus=z["nus"] if "nus" in z.files else None)
+
+    def check_vs_priors(self, priors):
+        """Trained-support containment check (reference
+        ``FiestaModel.check_vs_priors``, nmma/em/model.py:434-445)."""
+        problems = []
+        for key, (lo, hi) in self.parameter_distributions.items():
+            prior = getattr(priors, "priors", priors).get(key)
+            if prior is None:
+                continue
+            p_lo = getattr(prior, "minimum", None)
+            p_hi = getattr(prior, "maximum", None)
+            if p_lo is not None and (p_lo < lo or p_hi > hi):
+                problems.append(f"{key}: prior [{p_lo}, {p_hi}] outside "
+                                f"trained support [{lo}, {hi}]")
+        if problems:
+            raise ValueError("fiesta surrogate support violated: "
+                             + "; ".join(problems))
+
+
+def _mlp_forward(x, kernels, biases):
+    """relu-hidden MLP; x may be [P] or [F, P] matching stacked kernels."""
+    h = x
+    last = len(kernels) - 1
+    for i, (w, b) in enumerate(zip(kernels, biases)):
+        if w.ndim == 3:  # stacked per-filter: [F, d_in, d_out]
+            h = jnp.einsum("...fi,fio->...fo", h, jnp.asarray(w)) + b
+        else:
+            h = h @ jnp.asarray(w) + b
+        if i != last:
+            h = jax.nn.relu(h)
+    return h
+
+
+def fiesta_surrogate_mags(data: FiestaSurrogateData, params, t_days,
+                          nu_host):
+    """-> [F, T_out] absolute AB magnitudes on ``t_days``.
+
+    GRB-mixin parameter conversions are applied key-wise first
+    (``alphaWing -> thetaWing``, ``epsilon_tot``; reference GRBMixin,
+    nmma/em/model.py:805-845): the sanity window collapses the output to
+    inf (an invalid light curve) exactly like the reference's
+    ``good_parameters`` gate.
+    """
+    p = dict(params)
+    ok = jnp.asarray(True)
+    if "alphaWing" in p and "thetaCore" in p:
+        p["thetaWing"] = jnp.asarray(p["alphaWing"]) * \
+            jnp.asarray(p["thetaCore"])
+    if "thetaWing" in p and "thetaCore" in p:
+        ok = ok & (jnp.asarray(p["thetaWing"]) <= jnp.pi / 2)
+        ok = ok & (jnp.asarray(p["thetaCore"]) > jnp.pi / 1800.0)
+    eps_tot = None
+    if "epsilon_e" in p and "epsilon_B" in p:
+        eps_tot = jnp.asarray(p["epsilon_e"]) + jnp.asarray(p["epsilon_B"])
+    elif "log10_epsilon_e" in p and "log10_epsilon_B" in p:
+        eps_tot = 10.0 ** jnp.asarray(p["log10_epsilon_e"]) + \
+            10.0 ** jnp.asarray(p["log10_epsilon_B"])
+    if eps_tot is not None:
+        ok = ok & (eps_tot <= 1.0)
+
+    theta = jnp.stack([jnp.asarray(p[k]) for k in data.parameter_names])
+    x = (theta - data.x_min) / (data.x_max - data.x_min)
+
+    if data.kind == "lightcurve":
+        f = len(data.filters)
+        xf = jnp.broadcast_to(x, (f, x.shape[-1]))          # [F, P]
+        y = _mlp_forward(xf, data.kernels, data.biases)     # [F, T]
+        mags = y * (data.y_max - data.y_min) + data.y_min
+    else:
+        y = _mlp_forward(x, data.kernels, data.biases)      # [Nu*T]
+        y = y * (data.y_max - data.y_min) + data.y_min
+        log_flux = y.reshape(len(data.nus), len(data.times))  # [Nu, T]
+        # read off each filter's frequency by log-nu interpolation
+        log_nu_grid = jnp.log10(jnp.asarray(data.nus))
+        log_nu_q = jnp.log10(jnp.asarray(nu_host))
+        idx = jnp.clip(jnp.searchsorted(log_nu_grid, log_nu_q) - 1, 0,
+                       len(data.nus) - 2)
+        lo = log_nu_grid[idx]
+        hi = log_nu_grid[idx + 1]
+        w = jnp.clip((log_nu_q - lo) / (hi - lo), 0.0, 1.0)[:, None]
+        log_f = (1 - w) * log_flux[idx] + w * log_flux[idx + 1]  # [F, T]
+        # log10 F_nu [mJy at 10 pc] -> absolute AB magnitude
+        mags = -2.5 * log_f + 16.4
+
+    # interpolate the surrogate grid onto the requested times (inf
+    # outside the trained range, same contract as the SVD family)
+    from ..ops.interp import masked_interp_sorted_fill
+
+    def interp_one(row):
+        return masked_interp_sorted_fill(t_days, jnp.asarray(data.times),
+                                         row, jnp.inf)
+    out = jax.vmap(interp_one)(mags)
+    return jnp.where(ok, out, jnp.inf)
+
+
+def make_fiesta_source_model(name: str,
+                             data: FiestaSurrogateData) -> SourceModel:
+    def mags_fn(params, t_days, nu_host):
+        return fiesta_surrogate_mags(data, params, t_days, nu_host)
+
+    model = SourceModel(
+        name=name,
+        parameter_names=tuple(data.parameter_names),
+        mags_fn=mags_fn,
+        default_time_grid=lambda: np.asarray(data.times),
+        citation="fiesta surrogate (nmma FiestaModel family, "
+                 "em/model.py:411-491)",
+        filter_names=tuple(data.filters) if data.filters else None,
+    )
+    register_source_model(model)
+    return model
+
+
+# ---------------------------------------------------------------------------
+# ingestion of fiesta's own artifact directories
+# ---------------------------------------------------------------------------
+
+def _collect_dense_layers(tree):
+    """Walk a flax param tree collecting Dense kernels/biases in order."""
+    layers = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and "bias" in node:
+                layers[path] = (np.asarray(node["kernel"]),
+                                np.asarray(node["bias"]))
+            else:
+                for k, v in node.items():
+                    walk(v, path + (str(k),))
+
+    walk(tree, ())
+
+    def order_key(path):
+        # Dense_0, Dense_1, ... (flax linen auto-naming) or layers_0 ...
+        tail = path[-1] if path else ""
+        digits = "".join(c for c in tail if c.isdigit())
+        return (int(digits) if digits else 0, path)
+
+    ordered = [layers[k] for k in sorted(layers, key=order_key)]
+    if not ordered:
+        raise ValueError("no Dense kernel/bias pairs found in params tree")
+    return ordered
+
+
+def _load_network_file(path):
+    """Read one fiesta network file -> ordered [(kernel, bias), ...].
+
+    Fiesta saves flax params either as ``flax.serialization.to_bytes``
+    msgpack blobs or as pickled param dicts.
+    """
+    with open(path, "rb") as f:
+        blob = f.read()
+    tree = None
+    try:
+        from flax import serialization
+        tree = serialization.msgpack_restore(blob)
+    except Exception:
+        pass
+    if tree is None:
+        import pickle
+        tree = pickle.loads(blob)
+    if isinstance(tree, dict) and "params" in tree and \
+            isinstance(tree["params"], dict):
+        tree = tree["params"]
+    return _collect_dense_layers(tree)
+
+
+def _scaler_bounds(obj, fallback_dim=None):
+    """(min, max) arrays from a fiesta MinMaxScalerJax-style object/dict."""
+    for lo_key, hi_key in (("min_val", "max_val"), ("min", "max"),
+                           ("data_min_", "data_max_")):
+        lo = obj.get(lo_key) if isinstance(obj, dict) else \
+            getattr(obj, lo_key, None)
+        hi = obj.get(hi_key) if isinstance(obj, dict) else \
+            getattr(obj, hi_key, None)
+        if lo is not None and hi is not None:
+            return np.asarray(lo, dtype=np.float64), \
+                np.asarray(hi, dtype=np.float64)
+    raise ValueError(f"unrecognized scaler object {type(obj)!r}")
+
+
+def ingest_fiesta_directory(directory, name, filters=None):
+    """Convert a fiesta surrogate directory into :class:`FiestaSurrogateData`.
+
+    Layout (fiesta save conventions; reference FiestaKilonovaModel tries
+    ``{dir}`` then ``{dir}/KN/{model}/model``, nmma/em/model.py:791-796):
+    a ``{name}_metadata.pkl`` (or ``metadata.pkl``) with times /
+    parameter_names / parameter_distributions / scalers, plus network
+    weights in ``{filt}.pkl`` per filter (lightcurve models) or
+    ``{name}.pkl`` (flux models).
+    """
+    import pickle
+
+    meta_path = None
+    for cand in (f"{name}_metadata.pkl", "metadata.pkl",
+                 f"{name}_metadata.pickle"):
+        p = os.path.join(directory, cand)
+        if os.path.exists(p):
+            meta_path = p
+            break
+    if meta_path is None:
+        raise FileNotFoundError(
+            f"no fiesta metadata pickle for {name!r} in {directory!r}")
+    with open(meta_path, "rb") as f:
+        meta = pickle.load(f)
+
+    times = np.asarray(meta["times"], dtype=np.float64)
+    parameter_names = tuple(meta["parameter_names"])
+    dists = {k: (float(np.min(v[0] if np.ndim(v) else v)),
+                 float(np.max(v[1] if np.ndim(v) else v)))
+             if not isinstance(v, (list, tuple)) or len(v) < 2
+             else (float(v[0]), float(v[1]))
+             for k, v in dict(meta.get("parameter_distributions",
+                                       {})).items()}
+    x_lo, x_hi = _scaler_bounds(meta.get("X_scaler", meta))
+
+    nus = meta.get("nus")
+    if nus is not None:                      # flux surrogate
+        net_path = os.path.join(directory, f"{name}.pkl")
+        layers = _load_network_file(net_path)
+        y_lo, y_hi = _scaler_bounds(meta.get("y_scaler", meta))
+        return FiestaSurrogateData(
+            name=name, kind="flux", parameter_names=parameter_names,
+            parameter_distributions=dists, times=times,
+            x_min=x_lo, x_max=x_hi,
+            kernels=tuple(k for k, _ in layers),
+            biases=tuple(b for _, b in layers),
+            y_min=np.asarray(y_lo), y_max=np.asarray(y_hi),
+            nus=np.asarray(nus, dtype=np.float64))
+
+    # lightcurve surrogate: one network per filter, stacked
+    if filters is None:
+        filters = meta.get("filters")
+    if not filters:
+        raise ValueError("lightcurve surrogate: pass filters or include "
+                         "them in the metadata")
+    y_scalers = meta.get("y_scaler", {})
+    per_filter, y_lo_rows, y_hi_rows = [], [], []
+    for filt in filters:
+        net_path = os.path.join(directory, f"{filt}.pkl")
+        if not os.path.exists(net_path):
+            raise FileNotFoundError(f"missing network file {net_path}")
+        per_filter.append(_load_network_file(net_path))
+        sc = y_scalers.get(filt) if isinstance(y_scalers, dict) else None
+        lo, hi = _scaler_bounds(sc) if sc is not None else (
+            np.zeros(len(times)), np.ones(len(times)))
+        y_lo_rows.append(np.broadcast_to(lo, (len(times),)))
+        y_hi_rows.append(np.broadcast_to(hi, (len(times),)))
+    n_layers = {len(ls) for ls in per_filter}
+    if len(n_layers) != 1:
+        raise ValueError("per-filter networks disagree in depth")
+    kernels, biases = [], []
+    for i in range(n_layers.pop()):
+        kernels.append(np.stack([ls[i][0] for ls in per_filter]))
+        biases.append(np.stack([ls[i][1] for ls in per_filter]))
+    return FiestaSurrogateData(
+        name=name, kind="lightcurve", parameter_names=parameter_names,
+        parameter_distributions=dists, times=times,
+        x_min=x_lo, x_max=x_hi,
+        kernels=tuple(kernels), biases=tuple(biases),
+        y_min=np.stack(y_lo_rows), y_max=np.stack(y_hi_rows),
+        filters=tuple(filters))
+
+
+def load_fiesta_surrogate(model_name, surrogates_dir=None, filters=None):
+    """Resolve + load a fiesta surrogate by name.
+
+    Search order mirrors the reference's constructor fallbacks
+    (nmma/em/model.py:791-796, 869-881): the directory itself, then
+    ``KN/{model}/model`` and ``GRB/{model}/model`` under the surrogates
+    root (``$NMMA_FIESTA_SURROGATES`` by default). Native ``.npz``
+    artifacts are preferred when present.
+    """
+    root = surrogates_dir or os.environ.get(FIESTA_ENV)
+    if not root:
+        raise FileNotFoundError(
+            f"fiesta surrogates dir not set: pass surrogates_dir or set "
+            f"${FIESTA_ENV}")
+    candidates = [
+        root,
+        os.path.join(root, model_name),
+        os.path.join(root, "KN", model_name, "model"),
+        os.path.join(root, "GRB", model_name, "model"),
+    ]
+    errors = []
+    for d in candidates:
+        npz = os.path.join(d, f"{model_name}.npz")
+        if os.path.exists(npz):
+            return FiestaSurrogateData.load(npz)
+        if os.path.isdir(d):
+            try:
+                return ingest_fiesta_directory(d, model_name,
+                                               filters=filters)
+            except FileNotFoundError as e:
+                errors.append(str(e))
+    raise FileNotFoundError(
+        f"fiesta surrogate {model_name!r} not found under {root!r} "
+        f"(tried {candidates}); {'; '.join(errors[:2])}")

@@ -1,0 +1,251 @@
+"""Fiesta surrogate family: ingestion, eval semantics, end-to-end CLI.
+
+Closes VERDICT round-2 missing #1 / next-round #2: the reference's
+current-generation surrogate path (FiestaModel / FiestaKilonovaModel /
+FiestaGRBModel, nmma/em/model.py:411-491,734-888) re-expressed as stacked
+flax-style MLP tensors evaluated by the shared batched machinery. The
+real HuggingFace surrogates are network-gated, so these tests build
+synthetic surrogate files in both supported formats (native .npz and
+fiesta's pickle+flax-msgpack directories) and drive them through the full
+``lightcurve-analysis`` CLI.
+"""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmma_tpu.models.fiesta import (FiestaSurrogateData,
+                                    fiesta_surrogate_mags,
+                                    ingest_fiesta_directory,
+                                    load_fiesta_surrogate,
+                                    make_fiesta_source_model)
+
+TIMES = np.geomspace(0.1, 20.0, 60)
+FILTERS = ("ztfg", "ztfr", "ztfi")
+PARAMS = ("log10_mej_dyn", "log10_mej_wind")
+
+
+def _synthetic_lightcurve_data(rng, hidden=16):
+    """A tiny 2-layer per-filter MLP surrogate with plausible magnitudes."""
+    p, f, t = len(PARAMS), len(FILTERS), len(TIMES)
+    k1 = rng.normal(0.0, 0.5, (f, p, hidden))
+    b1 = rng.normal(0.0, 0.1, (f, hidden))
+    k2 = rng.normal(0.0, 0.2, (f, hidden, t))
+    b2 = rng.normal(0.5, 0.05, (f, t))
+    y_min = np.full((f, t), -17.0)
+    y_max = np.full((f, t), -9.0)
+    return FiestaSurrogateData(
+        name="SynthKN_MLP", kind="lightcurve",
+        parameter_names=PARAMS,
+        parameter_distributions={"log10_mej_dyn": (-3.0, -1.0),
+                                 "log10_mej_wind": (-2.0, -0.5)},
+        times=TIMES, x_min=np.array([-3.0, -2.0]),
+        x_max=np.array([-1.0, -0.5]),
+        kernels=(k1, k2), biases=(b1, b2),
+        y_min=y_min, y_max=y_max, filters=FILTERS)
+
+
+def _oracle_eval(data, theta, t_q):
+    """f64 NumPy per-filter oracle of the stacked eval."""
+    x = (np.asarray(theta) - data.x_min) / (data.x_max - data.x_min)
+    out = []
+    for fi in range(len(data.filters)):
+        h = x.copy()
+        for i, (k, b) in enumerate(zip(data.kernels, data.biases)):
+            h = h @ np.asarray(k[fi], np.float64) + np.asarray(b[fi],
+                                                              np.float64)
+            if i != len(data.kernels) - 1:
+                h = np.maximum(h, 0.0)
+        y = h * (data.y_max[fi] - data.y_min[fi]) + data.y_min[fi]
+        out.append(np.interp(t_q, data.times, y))
+    return np.stack(out)
+
+
+def test_lightcurve_surrogate_matches_oracle_and_roundtrips(tmp_path):
+    rng = np.random.default_rng(3)
+    data = _synthetic_lightcurve_data(rng)
+    path = tmp_path / "SynthKN_MLP.npz"
+    data.save(path)
+    back = FiestaSurrogateData.load(path)
+    assert back.filters == FILTERS and back.kind == "lightcurve"
+
+    theta = {"log10_mej_dyn": -2.0, "log10_mej_wind": -1.0}
+    t_q = np.geomspace(0.2, 15.0, 40)
+    got = np.asarray(fiesta_surrogate_mags(
+        back, {k: jnp.asarray(v) for k, v in theta.items()},
+        jnp.asarray(t_q), jnp.zeros(len(FILTERS))))
+    want = _oracle_eval(data, [theta[k] for k in PARAMS], t_q)
+    inside = t_q <= TIMES[-1]
+    np.testing.assert_allclose(got[:, inside], want[:, inside], rtol=2e-4,
+                               atol=2e-4)
+    # outside the trained range -> inf (same contract as SVD family)
+    assert np.all(np.isinf(got[:, ~inside]))
+
+
+def test_flux_surrogate_frequency_interpolation():
+    rng = np.random.default_rng(5)
+    nus = np.geomspace(1e14, 1e15, 8)
+    p, t = 2, len(TIMES)
+    k1 = rng.normal(0.0, 0.3, (p, 12))
+    b1 = rng.normal(0.0, 0.1, 12)
+    k2 = rng.normal(0.0, 0.2, (12, len(nus) * t))
+    b2 = rng.normal(0.5, 0.02, len(nus) * t)
+    data = FiestaSurrogateData(
+        name="SynthGRB_flux", kind="flux", parameter_names=PARAMS,
+        parameter_distributions={},
+        times=TIMES, x_min=np.array([-3.0, -2.0]),
+        x_max=np.array([-1.0, -0.5]),
+        kernels=(k1, k2), biases=(b1, b2),
+        y_min=np.full(len(nus) * t, -6.0),
+        y_max=np.full(len(nus) * t, 2.0), nus=nus)
+    theta = {"log10_mej_dyn": -1.5, "log10_mej_wind": -1.2}
+    # query exactly at grid frequencies: the interpolation must return
+    # -2.5 * log10 F + 16.4 of that grid row
+    x = (np.array([-1.5, -1.2]) - data.x_min) / (data.x_max - data.x_min)
+    h = np.maximum(x @ k1 + b1, 0.0)
+    y = (h @ k2 + b2) * (data.y_max - data.y_min) + data.y_min
+    grid = y.reshape(len(nus), t)
+    got = np.asarray(fiesta_surrogate_mags(
+        data, {k: jnp.asarray(v) for k, v in theta.items()},
+        jnp.asarray(TIMES), jnp.asarray(nus[[2, 5]])))
+    want = -2.5 * grid[[2, 5]] + 16.4
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_grb_mixin_gating():
+    rng = np.random.default_rng(7)
+    data = _synthetic_lightcurve_data(rng)
+    base = {"log10_mej_dyn": jnp.asarray(-2.0),
+            "log10_mej_wind": jnp.asarray(-1.0)}
+    t_q = jnp.asarray(TIMES[:10])
+    nu = jnp.zeros(3)
+    ok = np.asarray(fiesta_surrogate_mags(data, base, t_q, nu))
+    assert np.all(np.isfinite(ok))
+    # alphaWing conversion + epsilon_tot > 1 -> invalid (all-inf)
+    bad = dict(base, log10_epsilon_e=jnp.asarray(0.0),
+               log10_epsilon_B=jnp.asarray(0.0))
+    assert np.all(np.isinf(np.asarray(
+        fiesta_surrogate_mags(data, bad, t_q, nu))))
+    wide = dict(base, alphaWing=jnp.asarray(10.0),
+                thetaCore=jnp.asarray(0.3))
+    assert np.all(np.isinf(np.asarray(
+        fiesta_surrogate_mags(data, wide, t_q, nu))))
+    narrow = dict(base, alphaWing=jnp.asarray(3.0),
+                  thetaCore=jnp.asarray(0.1))
+    assert np.all(np.isfinite(np.asarray(
+        fiesta_surrogate_mags(data, narrow, t_q, nu))))
+
+
+def _write_fiesta_format_dir(d, data):
+    """Write a fiesta-convention artifact dir: metadata pickle +
+    per-filter flax-msgpack network files."""
+    from flax import serialization
+    meta = {
+        "times": data.times,
+        "parameter_names": list(data.parameter_names),
+        "parameter_distributions": {k: list(v) for k, v in
+                                    data.parameter_distributions.items()},
+        "filters": list(data.filters),
+        "X_scaler": {"min_val": data.x_min, "max_val": data.x_max},
+        "y_scaler": {f: {"min_val": data.y_min[i], "max_val": data.y_max[i]}
+                     for i, f in enumerate(data.filters)},
+    }
+    with open(os.path.join(d, "SynthKN_MLP_metadata.pkl"), "wb") as fh:
+        pickle.dump(meta, fh)
+    for i, f in enumerate(data.filters):
+        params = {"params": {
+            "Dense_0": {"kernel": np.asarray(data.kernels[0][i]),
+                        "bias": np.asarray(data.biases[0][i])},
+            "Dense_1": {"kernel": np.asarray(data.kernels[1][i]),
+                        "bias": np.asarray(data.biases[1][i])},
+        }}
+        with open(os.path.join(d, f"{f}.pkl"), "wb") as fh:
+            fh.write(serialization.to_bytes(params))
+
+
+def test_ingest_fiesta_format_directory(tmp_path):
+    rng = np.random.default_rng(11)
+    data = _synthetic_lightcurve_data(rng)
+    _write_fiesta_format_dir(str(tmp_path), data)
+    got = ingest_fiesta_directory(str(tmp_path), "SynthKN_MLP")
+    assert got.filters == FILTERS
+    assert got.parameter_names == PARAMS
+    for a, b in zip(got.kernels, data.kernels):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    # nested layout resolution (reference {dir}/KN/{model}/model fallback)
+    nested = tmp_path / "KN" / "SynthKN_MLP" / "model"
+    nested.mkdir(parents=True)
+    for name in os.listdir(tmp_path):
+        src = tmp_path / name
+        if src.is_file():
+            (nested / name).write_bytes(src.read_bytes())
+            src.unlink()
+    got2 = load_fiesta_surrogate("SynthKN_MLP", str(tmp_path))
+    assert got2.filters == FILTERS
+
+
+def test_prior_support_check():
+    rng = np.random.default_rng(13)
+    data = _synthetic_lightcurve_data(rng)
+    from nmma_tpu.priors import PriorDict
+    from nmma_tpu.priors.core import Uniform
+    good = PriorDict({"log10_mej_dyn": Uniform(
+        name="log10_mej_dyn", minimum=-2.9, maximum=-1.1)})
+    data.check_vs_priors(good)
+    bad = PriorDict({"log10_mej_dyn": Uniform(
+        name="log10_mej_dyn", minimum=-5.0, maximum=-1.0)})
+    with pytest.raises(ValueError, match="support"):
+        data.check_vs_priors(bad)
+
+
+def test_fiesta_cli_end_to_end(tmp_path):
+    """The 'Done' criterion of VERDICT next-round #2: --model accepts a
+    fiesta-format surrogate end-to-end in lightcurve-analysis."""
+    from nmma_tpu.cli.lightcurve_analysis import main
+
+    rng = np.random.default_rng(17)
+    data = _synthetic_lightcurve_data(rng)
+    surdir = tmp_path / "surrogates"
+    surdir.mkdir()
+    _write_fiesta_format_dir(str(surdir), data)
+
+    # synthesize photometry from the surrogate itself
+    theta = {"log10_mej_dyn": -2.0, "log10_mej_wind": -1.0}
+    t_obs = np.linspace(0.5, 10.0, 12)
+    mags = _oracle_eval(data, [theta[k] for k in PARAMS], t_obs)
+    dist_mod = 5.0 * np.log10(40.0 * 1e6 / 10.0)
+    lc = tmp_path / "lc.dat"
+    rows = []
+    for i, f in enumerate(FILTERS):
+        rows += [f"{59000 + t:.4f} {f} {mags[i, j] + dist_mod:.4f} 0.10"
+                 for j, t in enumerate(t_obs)]
+    lc.write_text("\n".join(rows) + "\n")
+
+    prior = tmp_path / "p.prior"
+    prior.write_text(
+        "log10_mej_dyn = Uniform(minimum=-3., maximum=-1.)\n"
+        "log10_mej_wind = Uniform(minimum=-2., maximum=-0.5)\n"
+        "luminosity_distance = 40.0\n"
+        "timeshift = 0.0\n")
+
+    ana = main([
+        "--model", "SynthKN_MLP",
+        "--fiesta-surrogates-dir", str(surdir),
+        "--prior", str(prior),
+        "--light-curve-data", str(lc),
+        "--trigger-time", "59000",
+        "--tmin", "0.1", "--tmax", "20.0",
+        "--nlive", "64", "--walks", "8", "--dlogz", "2.0",
+        "--error-budget", "0.2",
+        "--outdir", str(tmp_path), "--label", "fiesta",
+    ])
+    assert np.isfinite(ana.result.logz)
+    post = ana.posterior_samples()
+    med_dyn = float(np.median(np.asarray(post["log10_mej_dyn"])))
+    med_wind = float(np.median(np.asarray(post["log10_mej_wind"])))
+    assert abs(med_dyn - theta["log10_mej_dyn"]) < 0.4
+    assert abs(med_wind - theta["log10_mej_wind"]) < 0.4
