@@ -136,6 +136,82 @@ def filters_to_frequencies(filters) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Bandpass wavelength ranges [Angstrom] for transmission-weighted band
+# magnitudes (the reference integrates through sncosmo bandpasses,
+# nmma/em/model.py:1121-1180, bandpasses registered in em/utils.py:478-592).
+# Values are the published band edges (SVO filter service / survey papers);
+# the in-band transmission is modelled as a flat top with linear edge ramps
+# — adequate for the tenth-of-a-magnitude-scale correction this captures
+# relative to point sampling at the effective wavelength. Filters not
+# listed here (narrow/odd bands, radio/X-ray deltas, and the reference's
+# parity-frozen generic letters) fall back to a single-node delta at the
+# effective wavelength, i.e. the previous behavior.
+# ---------------------------------------------------------------------------
+BANDPASS_RANGES_AA = {
+    "ztfg": (4087.0, 5522.0), "ztfr": (5600.0, 7317.0),
+    "ztfi": (7027.0, 8883.0),
+    "sdssu": (3048.0, 4028.0), "sdssg": (3783.0, 5549.0),
+    "sdssr": (5415.0, 6989.0), "sdssi": (6689.0, 8389.0),
+    "sdssz": (7960.0, 10833.0),
+    "ps1::g": (3943.0, 5593.0), "ps1::r": (5386.0, 7036.0),
+    "ps1::i": (6778.0, 8304.0), "ps1::z": (8028.0, 9346.0),
+    "ps1::y": (9100.0, 10838.0),
+    "2massj": (10620.0, 14500.0), "2massh": (14787.0, 18231.0),
+    "2massks": (19543.0, 23552.0),
+    "lsstu": (3205.0, 4081.0), "lsstg": (3873.0, 5665.0),
+    "lsstr": (5375.0, 7054.0), "lssti": (6765.0, 8325.0),
+    "lsstz": (8035.0, 9375.0), "lssty": (9089.0, 10897.0),
+    "desg": (3980.0, 5480.0), "desr": (5680.0, 7160.0),
+    "desi": (7100.0, 8570.0), "desz": (8500.0, 10000.0),
+    "desy": (9500.0, 10700.0),
+    "atlasc": (4200.0, 6560.0), "atlaso": (5600.0, 8200.0),
+    "bessellux": (3030.0, 4200.0), "bessellb": (3600.0, 5600.0),
+    "bessellv": (4700.0, 7000.0), "bessellr": (5500.0, 9000.0),
+    "besselli": (7000.0, 9200.0),
+    "galex::fuv": (1340.0, 1810.0), "galex::nuv": (1690.0, 3000.0),
+}
+
+DEFAULT_BANDPASS_NODES = 9
+
+
+def filters_to_quadrature(filters, n_nodes=DEFAULT_BANDPASS_NODES,
+                          ramp_frac=0.12):
+    """Per-filter frequency quadrature for AB band-magnitude integrals.
+
+    Returns ``(nu_nodes [F, K], weights [F, K])`` such that the band AB
+    magnitude of a spectrum F_nu is ``-2.5 log10(sum_k w_k F_nu(nu_k) /
+    3631 Jy)`` — the transmission-weighted mean flux in the AB convention
+    ``m = -2.5 log10( int T F_nu dnu/nu / int T 3631Jy dnu/nu )``. Nodes
+    are log-spaced across the band, so the dnu/nu measure makes the
+    weights proportional to the trapezoid transmission alone. Filters
+    without bandpass data collapse to a delta at the effective wavelength
+    (weight 1 on node 0), reproducing point sampling exactly.
+    """
+    f = len(filters)
+    nu_nodes = np.zeros((f, n_nodes))
+    weights = np.zeros((f, n_nodes))
+    for i, name in enumerate(filters):
+        rng_aa = BANDPASS_RANGES_AA.get(name) or \
+            BANDPASS_RANGES_AA.get(name.lower())
+        nu_eff = c_SI / effective_wavelength(name)
+        if rng_aa is None:
+            nu_nodes[i, :] = nu_eff
+            weights[i, 0] = 1.0
+            continue
+        lo, hi = rng_aa
+        lam = np.geomspace(lo, hi, n_nodes)
+        ramp = ramp_frac * (hi - lo)
+        t_up = np.clip((lam - lo) / ramp, 0.0, 1.0)
+        t_dn = np.clip((hi - lam) / ramp, 0.0, 1.0)
+        trans = np.minimum(t_up, t_dn)
+        w = trans / trans.sum()
+        nu = c_SI / (lam * _ANGSTROM)
+        nu_nodes[i] = nu
+        weights[i] = w
+    return nu_nodes, weights
+
+
+# ---------------------------------------------------------------------------
 # Filter name mapping (observed name -> model filter) and composite averages
 # (nmma/em/utils.py:478-592)
 # ---------------------------------------------------------------------------

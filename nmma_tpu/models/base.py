@@ -183,6 +183,22 @@ class DetectorLightCurveModel:
         # accepts are forwarded so one config can drive mixed model sets.
         self.model_kwargs = _filter_kwargs(model.mags_fn, model_kwargs or {})
         self.nu_0s = jnp.asarray(filters_to_frequencies(self.filters))
+        # bandpass-integral support: kernels whose signature declares
+        # nu_nodes/nu_weights get the per-filter frequency quadrature
+        # (transmission-weighted band magnitudes instead of point sampling
+        # at the effective wavelength; reference integrates via sncosmo,
+        # nmma/em/model.py:1121-1180)
+        sig_params = inspect.signature(model.mags_fn).parameters
+        # **kwargs kernels (the combined model) forward per-sub via
+        # _filter_kwargs, so they count as banded-capable
+        self._banded = "nu_nodes" in sig_params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig_params.values())
+        if self._banded:
+            from ..filters import filters_to_quadrature
+            nodes, weights = filters_to_quadrature(self.filters)
+            self.nu_nodes = jnp.asarray(nodes)
+            self.nu_weights = jnp.asarray(weights)
         self.sample_times = jnp.asarray(
             sample_times if sample_times is not None else self.source.time_grid()
         )
@@ -215,12 +231,16 @@ class DetectorLightCurveModel:
 
         p["distance_modulus"] = distance_modulus(d_lum)
         nu_host = self.nu_0s * (1.0 + z)
+        extra = dict(self.model_kwargs)
+        if self._banded:
+            extra["nu_nodes"] = self.nu_nodes * (1.0 + z)
+            extra["nu_weights"] = self.nu_weights
         if self.source.needs_filters:
             mags = self.source.mags_fn(p, t, nu_host, filters=self.filters,
-                                       **self.model_kwargs)
+                                       **extra)
         else:
             mags = self.source.mags_fn(p, t, nu_host,
-                                       **self.model_kwargs)  # [F, T] abs mags
+                                       **extra)  # [F, T] abs mags
 
         if self.source.filter_names is not None:
             # align the kernel's fixed filter rows with the requested set;

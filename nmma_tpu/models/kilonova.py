@@ -178,7 +178,15 @@ def _me2017_dynamics_vmap(axis_size, in_batched, log10_mej, log10_vej, beta,
     return mapped(*args), (True, True)
 
 
-def me2017_mags(params, t_days, nu_host):
+def _bb_mags(nu_host, inv_t, r_photo, nu_nodes=None, nu_weights=None):
+    """Point-sampled or bandpass-integrated blackbody dispatch."""
+    if nu_nodes is not None:
+        from ..ops.photometry import blackbody_ab_mag_banded
+        return blackbody_ab_mag_banded(nu_nodes, nu_weights, inv_t, r_photo)
+    return blackbody_ab_mag(nu_host, inv_t, r_photo)
+
+
+def me2017_mags(params, t_days, nu_host, nu_nodes=None, nu_weights=None):
     """Me2017 absolute AB magnitudes, [F, T].
 
     The shell dynamics dispatch through a custom-vmap primitive: batched
@@ -190,10 +198,12 @@ def me2017_mags(params, t_days, nu_host):
         jnp.asarray(params["log10_mej"]), jnp.asarray(params["log10_vej"]),
         jnp.asarray(params["beta"]),
         10.0 ** jnp.asarray(params["log10_kappa_r"]), t_days)
-    return _me2017_photometry(ltot40, r_photo, t_days, nu_host)
+    return _me2017_photometry(ltot40, r_photo, t_days, nu_host,
+                              nu_nodes, nu_weights)
 
 
-def _me2017_photometry(ltot40, r_photo, t_days, nu_host):
+def _me2017_photometry(ltot40, r_photo, t_days, nu_host,
+                       nu_nodes=None, nu_weights=None):
     """Shared tail: effective temperature + blackbody magnitudes."""
     r_ok = r_photo > 0.0
     r_safe = jnp.where(r_ok, r_photo, 1.0)
@@ -204,10 +214,11 @@ def _me2017_photometry(ltot40, r_photo, t_days, nu_host):
     t_obs = masked_interp_linear_sorted(t_days, t_days, t_obs)
     inv_t = jnp.where(jnp.isfinite(t_obs) & (t_obs > 0.0), 1.0 / t_obs,
                       jnp.inf)
-    return blackbody_ab_mag(nu_host, inv_t, r_photo)
+    return _bb_mags(nu_host, inv_t, r_photo, nu_nodes, nu_weights)
 
 
-def me2017_mags_sequential(params, t_days, nu_host):
+def me2017_mags_sequential(params, t_days, nu_host,
+                           nu_nodes=None, nu_weights=None):
     """Me2017 absolute AB magnitudes, [F, T].
 
     Physics identical to ``eff_metzger_lc``
@@ -280,7 +291,7 @@ def me2017_mags_sequential(params, t_days, nu_host):
     t_obs = masked_interp_linear_sorted(t_days, t_days, t_obs)
     inv_t = jnp.where(jnp.isfinite(t_obs) & (t_obs > 0.0), 1.0 / t_obs, jnp.inf)
 
-    return blackbody_ab_mag(nu_host, inv_t, r_photo)
+    return _bb_mags(nu_host, inv_t, r_photo, nu_nodes, nu_weights)
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +313,8 @@ def _hona_luminosity40(e40, t, td, be):
     return _erfc(ymax) * e40 / tesc
 
 
-def hona2020_mags(params, t_days, nu_host):
+def hona2020_mags(params, t_days, nu_host, nu_nodes=None,
+                  nu_weights=None):
     """HoNa2020 absolute AB magnitudes, [F, T].
 
     Physics identical to ``HoNa_lc``/``temp_photosphere_HoNa``
@@ -388,7 +400,7 @@ def hona2020_mags(params, t_days, nu_host):
         lbol40, 1e-30
     )
     inv_t = jnp.power(q, 0.25)
-    return blackbody_ab_mag(nu_host, inv_t, r_photo)
+    return _bb_mags(nu_host, inv_t, r_photo, nu_nodes, nu_weights)
 
 
 # ---------------------------------------------------------------------------
@@ -412,12 +424,12 @@ def _inv_temp_photosphere_from_params(params):
     return inv_temp, r_photo
 
 
-def blackbody_fixed_t_mags(params, t_days, nu_host):
+def blackbody_fixed_t_mags(params, t_days, nu_host, nu_nodes=None,
+                           nu_weights=None):
     inv_temp, r_photo = _inv_temp_photosphere_from_params(params)
     n_t = t_days.shape[0]
-    return blackbody_ab_mag(
-        nu_host, jnp.full((n_t,), inv_temp), jnp.full((n_t,), r_photo)
-    )
+    return _bb_mags(nu_host, jnp.full((n_t,), inv_temp),
+                    jnp.full((n_t,), r_photo), nu_nodes, nu_weights)
 
 
 def powerlaw_blackbody_fixed_t_mags(params, t_days, nu_host, filters=None):

@@ -50,13 +50,16 @@ def piro2021_bolometric(params, t_days):
     return lbol40, rs
 
 
-def piro2021_mags(params, t_days, nu_host):
+def piro2021_mags(params, t_days, nu_host, nu_nodes=None, nu_weights=None):
     lbol40, rs = piro2021_bolometric(params, t_days)
     # T^4 = L / (4 pi R^2 sigma), assembled with f32-safe scaling
     q = (lbol40 * 1e20) / (4.0 * jnp.pi * sigSB) / ((rs * 1e-10) ** 2)
     good = (q > 0.0) & jnp.isfinite(q)
     t_eff = jnp.where(good, jnp.power(jnp.where(good, q, 1.0), 0.25), jnp.nan)
     inv_t = jnp.where(jnp.isfinite(t_eff) & (t_eff > 0.0), 1.0 / t_eff, jnp.inf)
+    if nu_nodes is not None:
+        from ..ops.photometry import blackbody_ab_mag_banded
+        return blackbody_ab_mag_banded(nu_nodes, nu_weights, inv_t, rs)
     return blackbody_ab_mag(nu_host, inv_t, rs)
 
 

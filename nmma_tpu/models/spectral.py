@@ -91,16 +91,39 @@ def make_spectral_source_model(name, phase_days, wave_aa, flam,
     log_nu_j = jnp.asarray(log_nu_grid)
     mag_j = jnp.asarray(np.nan_to_num(mag_grid_nu, posinf=np.inf))
 
-    def mags_fn(params, t_days, nu_host):
+    def mags_fn(params, t_days, nu_host, nu_nodes=None, nu_weights=None):
         boost = jnp.asarray(params.get("supernova_mag_boost", 0.0))
-        log_nu_q = jnp.log(jnp.asarray(nu_host))               # [F]
 
-        # wavelength interpolation at the host-frame frequencies: the
-        # spectrum itself supplies the K-correction
-        def per_phase(row):
-            return masked_interp_sorted_fill(log_nu_q, log_nu_j, row,
-                                             jnp.inf)
-        mag_ft = jax.vmap(per_phase)(mag_j).T                  # [F, T_tpl]
+        if nu_nodes is not None:
+            # bandpass integral (reference: sncosmo bandmag transmission
+            # integrals, nmma/em/model.py:1121-1180): evaluate the
+            # template magnitude at every quadrature node, average the
+            # implied fluxes with the band weights in log space
+            f, k = nu_nodes.shape
+            log_nu_q = jnp.log(nu_nodes.reshape(f * k))
+
+            def per_phase(row):
+                return masked_interp_sorted_fill(log_nu_q, log_nu_j, row,
+                                                 jnp.inf)
+            mag_nodes = jax.vmap(per_phase)(mag_j)           # [T_tpl, F*K]
+            mag_nodes = mag_nodes.T.reshape(f, k, -1)        # [F, K, T_tpl]
+            # mags -> ln-flux (zero point cancels in the weighted mean)
+            from jax.scipy.special import logsumexp
+            log_flux = -0.4 * jnp.log(10.0) * jnp.where(
+                jnp.isfinite(mag_nodes), mag_nodes, jnp.inf)
+            logw = jnp.log(jnp.maximum(nu_weights, 1e-30))[:, :, None]
+            log_mean = logsumexp(log_flux + logw, axis=1)    # [F, T_tpl]
+            mag_ft = jnp.where(jnp.all(jnp.isfinite(mag_nodes), axis=1),
+                               -2.5 / jnp.log(10.0) * log_mean, jnp.inf)
+        else:
+            log_nu_q = jnp.log(jnp.asarray(nu_host))         # [F]
+
+            # wavelength interpolation at the host-frame frequencies: the
+            # spectrum itself supplies the K-correction
+            def per_phase(row):
+                return masked_interp_sorted_fill(log_nu_q, log_nu_j, row,
+                                                 jnp.inf)
+            mag_ft = jax.vmap(per_phase)(mag_j).T            # [F, T_tpl]
 
         def per_filter(row):
             return masked_interp_sorted_fill(jnp.asarray(t_days), phase_j,

@@ -63,6 +63,47 @@ def flux_to_ab_mag(flux, unit="cgs", residual_mag=None):
     return jnp.where(good, -2.5 * jnp.log10(safe) + zp, jnp.inf)
 
 
+def banded_ab_mag_from_log_flux(log_flux, weights):
+    """Band AB magnitudes from per-node log fluxes.
+
+    ``log_flux``: [F, K, T] natural-log F_nu [cgs] at the quadrature nodes
+    (``-inf`` marks no flux); ``weights``: [F, K] normalized band weights
+    (``filters_to_quadrature``). The band magnitude is the AB
+    transmission-weighted mean flux, computed in log space:
+    ``m = -2.5/ln10 * logsumexp_k(ln w_k + ln F_k) + ZP`` — the
+    counterpart of the reference's sncosmo ``bandmag`` integral
+    (nmma/em/model.py:1121-1180).
+    """
+    from jax.scipy.special import logsumexp
+    logw = jnp.log(jnp.maximum(jnp.asarray(weights), 1e-30))
+    log_mean = logsumexp(log_flux + logw[:, :, None], axis=1)
+    return ab_mag_from_log_flux(log_mean)
+
+
+def blackbody_ab_mag_banded(nu_nodes, weights, inv_temp, radius,
+                            log_dist2=_LOG_DIST2):
+    """Bandpass-integrated blackbody AB magnitudes, [F, T].
+
+    Same physics as :func:`blackbody_ab_mag` but the Planck spectrum is
+    evaluated at the ``[F, K]`` quadrature nodes and averaged with the
+    band weights instead of point-sampled at the effective frequency.
+    """
+    nu = jnp.asarray(nu_nodes)[:, :, None]           # [F, K, 1]
+    inv_temp = jnp.asarray(inv_temp)[None, None, :]  # [1, 1, T]
+    radius = jnp.asarray(radius)[None, None, :]
+
+    x = h * nu * inv_temp / kb                       # [F, K, T]
+    good = jnp.isfinite(x) & (x > 0.0) & (radius > 0.0)
+    x_safe = jnp.where(good, x, 1.0)
+    r_safe = jnp.where(radius > 0.0, radius, 1.0)
+    log_flux = (_LOG_BB_FACTOR + 3.0 * jnp.log(nu)
+                - log_expm1(x_safe)
+                + 2.0 * jnp.log(r_safe) - log_dist2)
+    log_flux = jnp.where(good, log_flux, -jnp.inf)
+    mag = banded_ab_mag_from_log_flux(log_flux, weights)
+    return jnp.where(jnp.all(good, axis=1), mag, jnp.inf)
+
+
 def blackbody_ab_mag(nu, inv_temp, radius, log_dist2=_LOG_DIST2):
     """AB magnitudes of a blackbody photosphere, broadcast over filters/time.
 
