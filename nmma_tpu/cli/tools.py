@@ -182,6 +182,9 @@ def gwem_resampling(cli_args=None):
     p.add_argument("--label", default="gwem_resampling")
     p.add_argument("--nlive", type=int, default=512)
     p.add_argument("--total-ejecta-mass", action="store_true")
+    p.add_argument("--withNSBH", dest="with_nsbh", action="store_true",
+                   help="NSBH spin variant: sample chi_1/chi_2 with GW "
+                        "KDE priors (reference resampling.py:56-71)")
     args = apply_config(p, config, argv)
 
     from ..eos import load_macro_eos_set
@@ -189,12 +192,13 @@ def gwem_resampling(cli_args=None):
     from ..post_processing import GWEMResampler
     gw = load_posterior(args.GWsamples)
     em = load_posterior(args.EMsamples)
-    if "lambda_tilde" not in gw:
+    if "lambda_tilde" not in gw and not args.with_nsbh:
         from ..conversion import generate_posterior_parameters
         gw = generate_posterior_parameters(gw)
     eos_set = load_macro_eos_set(args.eos_data)
     rs = GWEMResampler(gw, em, eos_set,
-                       total_ejecta_mass=args.total_ejecta_mass)
+                       total_ejecta_mass=args.total_ejecta_mass,
+                       with_nsbh=args.with_nsbh)
     result, post = rs.run(nlive=args.nlive, verbose=True)
     os.makedirs(args.outdir, exist_ok=True)
     out = os.path.join(args.outdir, f"{args.label}_posterior_samples.csv")
@@ -210,10 +214,22 @@ def gwem_hubble_estimate(cli_args=None):
     config, argv = check_for_config(cli_args)
     p = argparse.ArgumentParser()
     p.add_argument("--posterior-files", required=True,
-                   help="comma-separated posterior files (need "
+                   help="comma-separated EM posterior files (need "
                         "luminosity_distance column)")
+    p.add_argument("--gw-posterior-files", default=None,
+                   help="comma-separated GW posterior files (need "
+                        "luminosity_distance + chirp_mass + mass_ratio); "
+                        "enables the reference's full per-ordering trend "
+                        "with flat-mass reweighting "
+                        "(hubble_estimates.py:76-169)")
     p.add_argument("--redshifts", required=True,
                    help="comma-separated true redshifts, one per file")
+    p.add_argument("--N-reordering", type=int, default=10)
+    p.add_argument("--N-posterior-samples", type=int, default=3000)
+    p.add_argument("--N-prior-samples", type=int, default=2000)
+    p.add_argument("--cred-interval", type=float, default=0.95)
+    p.add_argument("--p-value-threshold", type=float, default=None)
+    p.add_argument("--seed", type=int, default=42)
     p.add_argument("--outdir", default="outdir")
     p.add_argument("--label", default="hubble")
     args = apply_config(p, config, argv)
@@ -225,13 +241,53 @@ def gwem_hubble_estimate(cli_args=None):
                                    hubble_posterior_from_distance_samples)
     files = args.posterior_files.split(",")
     redshifts = [float(z) for z in args.redshifts.split(",")]
+    os.makedirs(args.outdir, exist_ok=True)
+
+    if args.gw_posterior_files:
+        from ..post_processing.hubble import (event_h0_kdes,
+                                              h0_trend_from_kdes)
+        rng = np.random.default_rng(args.seed)
+        gw_files = args.gw_posterior_files.split(",")
+        em_kdes, gw_kdes = [], []
+        for em_path, gw_path, z in zip(files, gw_files, redshifts):
+            pair = event_h0_kdes(
+                load_posterior(em_path)["luminosity_distance"],
+                load_posterior(gw_path), z, rng=rng,
+                p_value_threshold=args.p_value_threshold)
+            if pair is not None:
+                em_kdes.append(pair[0])
+                gw_kdes.append(pair[1])
+        h0_prior = rng.uniform(5.0, 120.0, size=args.N_prior_samples)
+        trend = h0_trend_from_kdes(
+            gw_kdes, em_kdes, h0_prior, np.arange(len(gw_kdes)),
+            n_reordering=args.N_reordering,
+            n_posterior_samples=args.N_posterior_samples,
+            cred_interval=args.cred_interval, rng=rng)
+        out = os.path.join(args.outdir,
+                           f"GW_EM_H0_trend_{args.label}.dat")
+        med, up, low = trend["total"]
+        cols = {"GW_med": trend["GW"][0],
+                "GW_uperr": trend["GW"][1] - trend["GW"][0],
+                "GW_lowerr": trend["GW"][0] - trend["GW"][2],
+                "EM_med": trend["EM"][0],
+                "EM_uperr": trend["EM"][1] - trend["EM"][0],
+                "EM_lowerr": trend["EM"][0] - trend["EM"][2],
+                "total_med": med, "total_uperr": up - med,
+                "total_lowerr": med - low}
+        header = " ".join(cols)
+        np.savetxt(out, np.column_stack(list(cols.values())),
+                   header=header, comments="")
+        print(f"H0 = {med[-1]:.2f} +{(up - med)[-1]:.2f} / "
+              f"-{(med - low)[-1]:.2f} km/s/Mpc ({len(gw_kdes)} events); "
+              f"wrote {out}")
+        return trend
+
     events = []
     for path, z in zip(files, redshifts):
         post = load_posterior(path)
         events.append(hubble_posterior_from_distance_samples(
             post["luminosity_distance"], z))
     grid, pdf, (med, lo, hi) = combine_hubble_posteriors(events)
-    os.makedirs(args.outdir, exist_ok=True)
     np.savez(os.path.join(args.outdir, f"{args.label}_H0.npz"),
              h0_grid=grid, pdf=pdf, median=med, lower68=lo, upper68=hi)
     print(f"H0 = {med:.2f} +{hi - med:.2f} / -{med - lo:.2f} km/s/Mpc")
@@ -245,6 +301,11 @@ def combine_eos(cli_args=None):
     p = argparse.ArgumentParser()
     p.add_argument("--posterior-files", required=True)
     p.add_argument("--eos-data", required=True)
+    p.add_argument("--no-flat-mass-reweight", action="store_true",
+                   help="skip the flat-component-mass reweighting the "
+                        "reference applies before counting EOS samples "
+                        "(ns_characteristics.py:42)")
+    p.add_argument("--seed", type=int, default=42)
     p.add_argument("--outdir", default="outdir")
     p.add_argument("--label", default="combined_eos")
     args = apply_config(p, config, argv)
@@ -254,9 +315,25 @@ def combine_eos(cli_args=None):
     from ..eos import load_macro_eos_set
     from ..io.results import load_posterior
     from ..post_processing import combine_eos_posteriors
+    from ..post_processing.ns_characteristics import \
+        eos_probs_from_posterior
     eos_set = load_macro_eos_set(args.eos_data)
-    samples = [load_posterior(f)["EOS"]
-               for f in args.posterior_files.split(",")]
+    rng = np.random.default_rng(args.seed)
+    samples = []
+    for f in args.posterior_files.split(","):
+        post = load_posterior(f)
+        if not args.no_flat_mass_reweight and "chirp_mass" in post \
+                and "mass_ratio" in post:
+            # reference-exact preprocessing: counts come from the
+            # flat-mass-reweighted posterior
+            probs = eos_probs_from_posterior(post, eos_set.n_eos, rng=rng)
+            # convert the probability vector back to a pseudo-sample set
+            # for the shared combiner (weights preserved exactly)
+            samples.append(np.repeat(
+                np.arange(eos_set.n_eos),
+                np.round(probs * 100000).astype(int)))
+        else:
+            samples.append(post["EOS"])
     weights, trend = combine_eos_posteriors(samples, eos_set)
     os.makedirs(args.outdir, exist_ok=True)
     np.savez(os.path.join(args.outdir, f"{args.label}.npz"),

@@ -507,3 +507,34 @@ class MultimessengerConversion:
         for conv in self._conversions:
             parameters = conv(parameters)
         return parameters
+
+
+def reweight_to_flat_mass_prior(samples, frac=0.3, rng=None):
+    """Resample a posterior to a flat-in-component-mass prior.
+
+    The sampling prior is flat in (chirp_mass, mass_ratio); converting to
+    flat in (m1, m2) needs the Jacobian m1^2 / Mc. Mirrors
+    ``reweight_to_flat_mass_prior`` (nmma/core/conversion.py:176-183):
+    draw ``frac`` of the samples without replacement, weighted by the
+    Jacobian (the reference's ``df.sample(frac=0.3, weights=...)``).
+
+    ``samples``: dict of equal-length arrays (or a DataFrame-like with
+    ``chirp_mass``/``mass_ratio`` columns). Returns the same mapping type
+    with subsampled rows.
+    """
+    rng = np.random.default_rng(rng)
+    get = samples.get if hasattr(samples, "get") else \
+        lambda k: samples[k]
+    mc = np.asarray(get("chirp_mass"), dtype=np.float64)
+    q = np.asarray(get("mass_ratio"), dtype=np.float64)
+    total = chirp_mass_and_mass_ratio_to_total_mass(mc, q)
+    m1 = total / (1.0 + q)
+    weights = m1 * m1 / mc
+    weights = weights / weights.sum()
+    n = len(mc)
+    n_out = max(int(round(frac * n)), 1)
+    idx = rng.choice(n, size=n_out, replace=False, p=weights)
+    keys = samples.keys() if hasattr(samples, "keys") else None
+    if keys is None:
+        raise TypeError("samples must be a mapping of arrays")
+    return {k: np.asarray(samples[k])[idx] for k in keys}

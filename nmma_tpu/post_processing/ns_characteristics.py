@@ -46,3 +46,74 @@ def combine_eos_posteriors(event_eos_samples, eos_set, pdet=None):
     weights = np.exp(log_w - log_w.max())
     weights /= weights.sum()
     return weights, trend
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact combine-EOS machinery: flat-mass reweighting, per-ordering
+# cumulative products, HDI spreads (nmma/post_processing/
+# ns_characteristics.py:17-66; round-2 VERDICT missing #5)
+# ---------------------------------------------------------------------------
+
+def eos_probs_from_posterior(samples, n_eos, reweight=True, rng=None):
+    """Per-event EOS probability vector from a posterior table.
+
+    Applies the flat-component-mass reweighting the reference applies
+    before counting (ns_characteristics.py:42: reweight_to_flat_mass_prior)
+    whenever the mass columns are present, then converts the continuous
+    EOS column to integer counts.
+    """
+    from ..conversion import reweight_to_flat_mass_prior
+
+    if reweight and "chirp_mass" in samples and "mass_ratio" in samples:
+        samples = reweight_to_flat_mass_prior(samples, rng=rng)
+    idx = np.floor(np.asarray(samples["EOS"])).astype(int)
+    idx = np.clip(idx, 0, n_eos - 1)
+    counts = np.bincount(idx, minlength=n_eos).astype(float)
+    return counts / counts.sum()
+
+
+def generate_eos_cumprods(probs, prior_prob):
+    """Cumulative posterior products over events
+    (reference generate_EOS_cumprods, ns_characteristics.py:57-66)."""
+    out = []
+    combined = np.asarray(prior_prob, dtype=np.float64).copy()
+    for prob in probs:
+        combined = combined * np.asarray(prob) / np.asarray(prior_prob)
+        combined = combined / combined.sum()
+        out.append(combined.copy())
+    return out
+
+
+def estimate_observable_trend(prior_dist, posterior_probs, prior_prob,
+                              n_reordering=10, n_posterior_samples=3000,
+                              cred_interval=0.95, rng=None):
+    """Median-over-orderings observable trend (e.g. R14 vs event count).
+
+    Reference estimate_observable_trend (ns_characteristics.py:17-32):
+    shuffle the event ordering, build cumulative EOS-probability products,
+    draw posterior samples of the observable per event count, record the
+    median + HDI bounds, and report the medians across orderings.
+    Returns (median[N], upper[N], lower[N]).
+    """
+    from .hubble import hdi
+
+    rng = np.random.default_rng(rng)
+    probs = list(posterior_probs)
+    meds, ups, lows = [], [], []
+    prior_dist = np.asarray(prior_dist, dtype=np.float64)
+    for _ in range(n_reordering):
+        rng.shuffle(probs)
+        row_m, row_u, row_l = [], [], []
+        for weights in generate_eos_cumprods(probs, prior_prob):
+            draws = rng.choice(prior_dist, p=weights,
+                               size=n_posterior_samples, replace=True)
+            lo, hi = hdi(draws, cred_interval)
+            row_m.append(np.median(draws))
+            row_u.append(hi)
+            row_l.append(lo)
+        meds.append(row_m)
+        ups.append(row_u)
+        lows.append(row_l)
+    return (np.median(np.asarray(meds), axis=0),
+            np.median(np.asarray(ups), axis=0),
+            np.median(np.asarray(lows), axis=0))
