@@ -440,3 +440,161 @@ def make_lcs(cli_args=None):
 
 if __name__ == "__main__":
     raise SystemExit("invoke via the console-script entry points")
+
+
+def injection_slurm_setup(cli_args=None):
+    """``lightcurve-injection-slurm-setup``: per-injection analysis dirs +
+    job scripts from a prior file and a template.
+
+    (reference: nmma.joint.injection_handling:multi_run_setup,
+    injection_handling.py:420-439 — PRIOR/OUTDIR/INJOUT/INJNUM template
+    substitution per injection index)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--prior-file", required=True)
+    p.add_argument("--analysis-file", required=True,
+                   help="job-script template with PRIOR / OUTDIR / "
+                        "INJOUT / INJNUM placeholders")
+    p.add_argument("--n-injection", type=int, default=1)
+    p.add_argument("--generation-seed", type=int, default=42)
+    p.add_argument("--outdir", default="outdir")
+    args = apply_config(p, config, argv)
+
+    import shutil
+
+    from ..injections import InjectionCreator, write_injection_file
+    from ..priors import load_prior_file
+
+    priors = load_prior_file(args.prior_file)
+    creator = InjectionCreator(priors, seed=args.generation_seed)
+    table = creator.generate(args.n_injection)
+    with open(args.analysis_file) as fh:
+        template = fh.read()
+    scripts = []
+    n = len(next(iter(table.values())))
+    for index in range(n):
+        outdir = os.path.join(args.outdir, str(index))
+        os.makedirs(outdir, exist_ok=True)
+        shutil.copy(args.prior_file,
+                    os.path.join(outdir, "injection.prior"))
+        write_injection_file(
+            os.path.join(outdir, "injection.json"),
+            {k: [v[index]] for k, v in table.items()})
+        body = template
+        for key, val in zip(
+                ("PRIOR", "OUTDIR", "INJOUT", "INJNUM"),
+                (os.path.join(outdir, "injection.prior"), outdir,
+                 os.path.join(outdir, "lc.csv"), str(index))):
+            body = body.replace(key, val)
+        path = os.path.join(outdir, "inference.sh")
+        with open(path, "w") as fh:
+            fh.write(body)
+        scripts.append(path)
+    print(f"wrote {len(scripts)} per-injection job dirs under "
+          f"{args.outdir}")
+    return scripts
+
+
+def create_lightcurve_slurm(cli_args=None):
+    """``create-lightcurve-slurm``: split an injection file into batched
+    light-curve-generation job scripts.
+
+    (reference: nmma.em.cluster_handling:lc_creation,
+    cluster_handling.py:11-24 — INJRANGE template substitution per batch)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--injection", "--injection-file", dest="injection",
+                   required=True)
+    p.add_argument("--analysis-file", required=True,
+                   help="job-script template with an INJRANGE placeholder")
+    p.add_argument("--n-per-job", type=int, default=100)
+    p.add_argument("--outdir", default="outdir")
+    args = apply_config(p, config, argv)
+
+    import numpy as np
+
+    from ..injections import read_injection_file
+
+    os.makedirs(os.path.join(args.outdir, "logs"), exist_ok=True)
+    table = read_injection_file(args.injection)
+    n_inj = len(next(iter(table.values())))
+    n_jobs = int(np.ceil(n_inj / args.n_per_job))
+    with open(args.analysis_file) as fh:
+        template = fh.read()
+    scripts = []
+    for ii in range(n_jobs):
+        lo = ii * args.n_per_job
+        hi = min((ii + 1) * args.n_per_job, n_inj)
+        body = template.replace("INJRANGE", f"{lo},{hi}")
+        path = os.path.join(args.outdir, f"inference_{ii}.sh")
+        with open(path, "w") as fh:
+            fh.write(body)
+        scripts.append(path)
+    print(f"wrote {n_jobs} batched job scripts under {args.outdir}")
+    return scripts
+
+
+def svdmodel_download(cli_args=None):
+    """``svdmodel-download``: resolve (and fetch, via the registry hook)
+    a surrogate model into the models home.
+
+    (reference: nmma.core.gitlab CLI, gitlab.py:271-323 — the GitLab
+    download itself is environment-gated here; air-gapped deployments
+    install a bundle hook via nmma_tpu.registry.set_download_hook)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--svd-path", default=None,
+                   help="models home (default $NMMA_TPU_MODELS)")
+    p.add_argument("--filters", default=None)
+    args = apply_config(p, config, argv)
+
+    from ..registry import get_model
+
+    path = get_model(
+        args.model, models_home=args.svd_path,
+        filters=args.filters.split(",") if args.filters else None)
+    print(path)
+    return path
+
+
+def resample_grid(cli_args=None):
+    """``resample-grid``: downsample / fragment an HDF5 training grid.
+
+    (reference: nmma.em.lightcurve_handling:resample_lightcurve_grid,
+    lightcurve_handling.py:468-531)
+    """
+    config, argv = check_for_config(cli_args)
+    p = argparse.ArgumentParser()
+    p.add_argument("--gridpath", required=True)
+    p.add_argument("--base-dirname", default="lcs_grid")
+    p.add_argument("--base-filename", default="lcs")
+    p.add_argument("--random-seed", type=int, default=21)
+    p.add_argument("--downsample", action="store_true")
+    p.add_argument("--fragment", action="store_true")
+    p.add_argument("--factor", type=int, default=10)
+    p.add_argument("--shuffle", action="store_true")
+    args = apply_config(p, config, argv)
+
+    if not args.gridpath.endswith((".h5", ".hdf5")):
+        raise ValueError("resampling only supports .h5 grid files")
+
+    from ..training.grids import Grid
+
+    grid = Grid(args.gridpath, base_dirname=args.base_dirname,
+                base_filename=args.base_filename,
+                random_seed=args.random_seed)
+    out = []
+    if args.downsample:
+        out.append(grid.downsample(factor=args.factor,
+                                   shuffle=args.shuffle))
+    if args.fragment:
+        out.append(grid.fragment(factor=args.factor, shuffle=args.shuffle))
+    if not out:
+        raise ValueError("pass --downsample and/or --fragment")
+    for path in out:
+        print(path)
+    return out
