@@ -256,16 +256,24 @@ class NestedSampler:
         h_new = jnp.where(jnp.isfinite(h_new), h_new, state.h_info)
 
         # evidence-variance accumulation (dynesty's recursion:
-        # d var(lnZ) = 2 dH dlnX per shrinkage step). While dead points
-        # still carry the -1e30 sentinel, H swings by ~1e30 — those
-        # transients are excluded (the classic sqrt(H/nlive) fallback in
-        # _finalise covers degenerate runs).
+        # d var(lnZ) = 2 dH dlnX per shrinkage step, SIGNED — the
+        # telescoped sum is 2 H_final dlnX and per-step f32 noise in H
+        # cancels; the round-2 max(dh, 0) clamp rectified that noise and
+        # inflated the reported error 6-9x over the cross-seed scatter,
+        # measured in tests/test_evidence_calibration.py). While dead
+        # points still carry the -1e30 sentinel, H swings by ~1e30 —
+        # those transients are excluded (the classic sqrt(H/nlive)
+        # fallback in _finalise covers degenerate runs).
         dh = h_new - state.h_info
-        dlnx = jnp.sum(self._decr)
+        # per-DEAD-POINT volume decrement (~1/nlive): dynesty applies the
+        # recursion once per dead point; a K-point chunk pairs the
+        # chunk's dH with the chunk's K/nlive decrement, overcounting the
+        # variance by K (round-2 bug; telescoped total is 2 H/nlive)
+        dlnx = jnp.sum(self._decr) / n_k
         sane = jnp.isfinite(dh) & (jnp.abs(dh) < 1e6) & \
             (dead_logl[0] > NEG_INF * 0.99)
         logzvar_new = state.logzvar + jnp.where(
-            sane, 2.0 * jnp.maximum(dh, 0.0) * dlnx, 0.0)
+            sane, 2.0 * dh * dlnx, 0.0)
 
         # 3. refill via constrained random walks from surviving points.
         # Without the full sort order, survivors are found by drawing
