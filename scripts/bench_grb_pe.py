@@ -1,0 +1,115 @@
+"""End-to-end GRB PE wall-clock benchmarks (BENCHMARKS.md configs 3-4).
+
+Run on the attached TPU:  python scripts/bench_grb_pe.py [3|4|both]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def config3_trpi2018_onaxis():
+    """TrPi2018 near-on-axis PE on synthetic multi-band data."""
+    import jax
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.priors import parse_prior_dict
+
+    truth = dict(log10_E0=51.5, thetaCore=0.1, thetaWing=0.4,
+                 inclination_EM=0.05, log10_n0=-1.5, p=2.4,
+                 log10_epsilon_e=-1.2, log10_epsilon_B=-3.0, xi_N=1.0,
+                 luminosity_distance=350.0, timeshift=0.0)
+    filters = ["ztfg", "ztfr", "ztfi", "X-ray-1keV", "radio-6GHz"]
+    data = create_light_curve_data(
+        truth, "TrPi2018", filters, tmin=0.1, tmax=30.0, n_tsteps=24,
+        seed=10, injection_error_budget=0.2)
+    priors = parse_prior_dict(
+        "log10_E0 = Uniform(minimum=49., maximum=54.)\n"
+        "thetaCore = Uniform(minimum=0.01, maximum=0.3)\n"
+        "thetaWing = 0.4\n"
+        "inclination_EM = Uniform(minimum=0., maximum=0.5)\n"
+        "log10_n0 = Uniform(minimum=-4., maximum=1.)\n"
+        "p = Uniform(minimum=2.01, maximum=2.9)\n"
+        "log10_epsilon_e = Uniform(minimum=-3., maximum=-0.3)\n"
+        "log10_epsilon_B = Uniform(minimum=-5., maximum=-0.5)\n"
+        "xi_N = 1.0\n"
+        "luminosity_distance = 350.0\n"
+        "timeshift = Uniform(minimum=-0.1, maximum=0.1)\n")
+    cfg = EMAnalysisConfig(
+        model="TrPi2018", trigger_time=0.0, tmin=0.05, tmax=40.0,
+        n_tsteps=64, error_budget=0.5,
+        outdir=os.path.join(REPO, "outdir_grb"), label="trpi2018_onaxis_r3",
+        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+                                    dlogz=0.3, chunk_size=5))
+    ana = EMAnalysis(cfg, data=data, priors=priors)
+    t0 = time.time()
+    ana.run(verbose=True)
+    wall = time.time() - t0
+    res = ana.result
+    return {"config": 3, "wall_s": round(wall, 1),
+            "logz": round(res.logz, 2), "ncall": res.ncall}
+
+
+def config4_grb211211a():
+    """Real GRB211211A data, Me2017+TrPi2018 combined, 11 params."""
+    import jax
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    from nmma_tpu.io import load_em_observations, shift_to_trigger_time
+    from nmma_tpu.models import get_source_model
+    from nmma_tpu.models.combined import make_combined_source_model
+    from nmma_tpu.priors import parse_prior_dict
+
+    data = load_em_observations(
+        "/root/reference/example_files/lightcurves/GRB211211A.txt")
+    trigger = min(np.min(sub["time"]) for sub in data.values()) - 0.05
+    data = shift_to_trigger_time(data, trigger)
+    make_combined_source_model(
+        "Me2017_TrPi2018_211211A_r3",
+        [get_source_model("Me2017"), get_source_model("TrPi2018")])
+    priors = parse_prior_dict(
+        "log10_mej = Uniform(minimum=-3., maximum=-1.)\n"
+        "log10_vej = Uniform(minimum=-2., maximum=-0.5)\n"
+        "beta = Uniform(minimum=1., maximum=5.)\n"
+        "log10_kappa_r = Uniform(minimum=-1., maximum=2.)\n"
+        "log10_E0 = Uniform(minimum=47., maximum=53.)\n"
+        "thetaCore = Uniform(minimum=0.01, maximum=0.3)\n"
+        "thetaWing = 0.3\n"
+        "inclination_EM = Uniform(minimum=0., maximum=0.4)\n"
+        "log10_n0 = Uniform(minimum=-5., maximum=1.)\n"
+        "p = Uniform(minimum=2.01, maximum=2.9)\n"
+        "log10_epsilon_e = Uniform(minimum=-3., maximum=-0.3)\n"
+        "log10_epsilon_B = Uniform(minimum=-5., maximum=-0.5)\n"
+        "xi_N = 1.0\nluminosity_distance = 350.0\ntimeshift = 0.0\n")
+    cfg = EMAnalysisConfig(
+        model="Me2017_TrPi2018_211211A_r3", trigger_time=0.0,
+        tmin=0.02, tmax=40.0, n_tsteps=100, error_budget=1.0,
+        outdir=os.path.join(REPO, "outdir_grb211211a"),
+        label="grb211211a_r3",
+        sampler=NestedSamplerConfig(nlive=384, n_delete=48, walks=20,
+                                    dlogz=0.3, max_iter=400,
+                                    chunk_size=10))
+    ana = EMAnalysis(cfg, data=data, priors=priors)
+    t0 = time.time()
+    ana.run(verbose=True)
+    wall = time.time() - t0
+    res = ana.result
+    return {"config": 4, "wall_s": round(wall, 1),
+            "logz": round(res.logz, 2), "ncall": res.ncall}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    out = []
+    if which in ("3", "both"):
+        out.append(config3_trpi2018_onaxis())
+    if which in ("4", "both"):
+        out.append(config4_grb211211a())
+    print(json.dumps(out))
