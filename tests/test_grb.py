@@ -197,13 +197,13 @@ def test_gw170817_radio_golden_morphology():
     (Makhathini et al. 2021 compilation: ~100 uJy peak at ~160 d, t^0.84
     rise, ~t^-2.2 post-peak decline) at the Ryan+20 fit parameters.
 
-    Round-3 state (after the 2pi solid-angle, EATS r_max, and
-    shock-velocity time-mapping fixes, each verified against the SPN98
-    on-axis analytics in test_grb_analytic_anchors.py): peak 260 uJy at
-    181 d — within a factor 2.7 in flux and 15% in peak time of the
-    afterglowpy fit to the data. The windows below pin that documented
-    bound; residual offsets trace to the lateral-spreading and wing
-    treatment (energy-dilution approximation vs afterglowpy's trumpet)."""
+    Round-3 state (after the 2pi solid-angle, EATS r_max, shock-velocity
+    time-mapping, and core-gated-spreading fixes, each verified against
+    the SPN98 on-axis analytics in test_grb_analytic_anchors.py): peak
+    187 uJy at 155 d — peak time ON the observed value, flux within a
+    factor 1.9 of the afterglowpy fit to the data. The windows below pin
+    that documented bound; the residual flux offset traces to the
+    energy-dilution spreading approximation vs afterglowpy's trumpet."""
     t, f = _radio_curve(spread=True)
     i = int(np.argmax(f))
     peak_ujy = f[i] * 1e3
