@@ -77,6 +77,16 @@ def _single_run(args):
     if getattr(args, "injection_model", None) and not args.injection:
         raise ValueError("--injection-model needs --injection")
 
+    if getattr(args, "detection_limit_fits_file", None):
+        if args.ra is None or args.dec is None:
+            raise ValueError(
+                "--detection-limit-fits-file needs --ra and --dec")
+        from ..io.fits import detection_limit_from_m4opt_fits
+        args.detection_limit = detection_limit_from_m4opt_fits(
+            args.detection_limit_fits_file, args.ra, args.dec)
+        print(f"detection limit from m4opt map: "
+              f"{args.detection_limit:.2f} mag")
+
     n_tsteps = args.n_tsteps
     if getattr(args, "tstep", None):
         # reference quick-start --dt convention: linear step over the

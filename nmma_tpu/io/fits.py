@@ -278,3 +278,23 @@ def skymap_pixel_index(ra_deg, dec_deg, nside):
     theta = np.radians(90.0 - np.asarray(dec_deg, dtype=np.float64))
     phi = np.radians(np.asarray(ra_deg, dtype=np.float64))
     return ang2pix_nest(nside, theta, phi)
+
+
+def detection_limit_from_m4opt_fits(path, ra_deg, dec_deg):
+    """Limiting magnitude at (ra, dec) from an m4opt LIMMAG HEALPix map.
+
+    Counterpart of ``detection_limit_from_m4opt_fits_file``
+    (nmma/em/utils.py:199-210): read the binary-table LIMMAG column,
+    index the (implicit-ordering) HEALPix map at the sky position.
+    """
+    columns, header = read_bintable(path)
+    key = next((k for k in columns if k.upper() == "LIMMAG"), None)
+    if key is None:
+        raise ValueError(f"no LIMMAG column in {path!r} "
+                         f"(columns: {sorted(columns)})")
+    limmag = np.asarray(columns[key], dtype=np.float64).ravel()
+    nside = int(header.get("NSIDE", 0))
+    if nside <= 0:
+        raise ValueError(f"missing NSIDE in {path!r}")
+    idx = skymap_pixel_index(ra_deg, dec_deg, nside)
+    return float(limmag[idx])

@@ -87,3 +87,43 @@ def test_inclination_prior_from_fits(tmp_path):
     x = np.asarray([float(prior.transform(v)) for v in u])
     assert np.all((x >= 0) & (x <= np.pi / 2))
     assert np.all(np.diff(x) > 0)
+
+
+def test_m4opt_detection_limit_map(tmp_path):
+    """m4opt LIMMAG HEALPix lookup (reference em/utils.py:199-210)."""
+    from nmma_tpu.io.fits import (detection_limit_from_m4opt_fits,
+                                  skymap_pixel_index, write_bintable)
+
+    nside = 8
+    npix = 12 * nside * nside
+    limmag = np.full(npix, 21.0)
+    idx = skymap_pixel_index(150.0, 30.0, nside)
+    limmag[idx] = 23.5
+    path = tmp_path / "limmag.fits"
+    write_bintable(path, {"LIMMAG": limmag},
+                   extra_header={"NSIDE": nside})
+    got = detection_limit_from_m4opt_fits(path, 150.0, 30.0)
+    assert got == 23.5
+    assert detection_limit_from_m4opt_fits(path, 0.0, -45.0) == 21.0
+
+    # CLI wiring: the detection limit resolves from the map
+    from nmma_tpu.cli.lightcurve_analysis import main
+    lc = tmp_path / "lc.dat"
+    rows = [f"{59000 + t} ztfr {19 + 0.2 * t:.3f} 0.1"
+            for t in np.linspace(0.5, 8.0, 10)]
+    lc.write_text("\n".join(rows) + "\n")
+    prior = tmp_path / "p.prior"
+    prior.write_text(
+        "log10_mej = Uniform(minimum=-3., maximum=-1.)\n"
+        "log10_vej = Uniform(minimum=-2., maximum=-0.5)\n"
+        "beta = 3.0\nlog10_kappa_r = 0.5\n"
+        "luminosity_distance = 40.\ntimeshift = 0.\n")
+    ana = main([
+        "--model", "Me2017", "--outdir", str(tmp_path), "--label", "m4",
+        "--prior", str(prior), "--light-curve-data", str(lc),
+        "--trigger-time", "59000",
+        "--detection-limit-fits-file", str(path),
+        "--ra", "150.0", "--dec", "30.0", "--skip-sampling",
+    ])
+    np.testing.assert_allclose(
+        np.asarray(ana.likelihood.detection_limit).ravel(), 23.5)
