@@ -1,0 +1,73 @@
+"""BASELINE config-5 wall-clock benchmark: joint GW+EM+EOS BNS inference
+through the public two-stage CLI (nmma-generation / nmma-analysis).
+
+Run on the attached TPU:  python scripts/bench_joint_pe.py
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MACRO_DIR = "/root/reference/nmma/tests/data/eos_macro"
+
+
+def main():
+    from nmma_tpu.cli.joint_main import nmma_analysis, nmma_generation
+    from nmma_tpu.injections import write_injection_file
+
+    outdir = tempfile.mkdtemp(prefix="bench_joint_")
+    inj = os.path.join(outdir, "inj.json")
+    write_injection_file(inj, {
+        "chirp_mass": [1.1977], "mass_ratio": [0.9],
+        "luminosity_distance": [40.0], "EOS": [4.2], "ratio_zeta": [0.3],
+        "alpha": [5e-5], "theta_jn": [0.4], "phase": [1.3], "psi": [1.5],
+        "ra": [3.446], "dec": [-0.408], "geocent_time": [0.0],
+        "timeshift": [0.0]})
+    prior = os.path.join(outdir, "p.prior")
+    with open(prior, "w") as fh:
+        fh.write(
+            "chirp_mass = Uniform(minimum=1.18, maximum=1.21)\n"
+            "mass_ratio = Uniform(minimum=0.6, maximum=1.0)\n"
+            "luminosity_distance = Uniform(minimum=10., maximum=100.)\n"
+            "EOS = Uniform(minimum=0., maximum=10.)\n"
+            "ratio_zeta = Uniform(minimum=0., maximum=0.5)\n"
+            "alpha = 5e-5\ntheta_jn = 0.4\nphase = 1.3\n"
+            "psi = 1.5\nra = 3.446\ndec = -0.408\ngeocent_time = 0.0\n"
+            "timeshift = 0.0\n")
+    t0 = time.time()
+    dump = nmma_generation([
+        "--outdir", outdir, "--label", "cfg5",
+        "--prior-file", prior, "--injection-file", inj,
+        "--eos-data", MACRO_DIR, "--duration", "64.0",
+        "--minimum-frequency", "25.0", "--maximum-frequency", "1024.0",
+        "--gw-detectors", "H1,L1,V1",
+        "--waveform", "IMRPhenomD_NRTidalv2",
+        "--em-model", "Me2017"])
+    t_gen = time.time() - t0
+    t0 = time.time()
+    nmma_analysis(["--data-dump", dump, "--outdir", outdir,
+                   "--label", "cfg5", "--nlive", "1024", "--walks", "16",
+                   "--dlogz", "0.1"])
+    t_samp = time.time() - t0
+    z = np.load(os.path.join(outdir, "cfg5_result.npz"))
+    meta = json.load(open(os.path.join(outdir, "cfg5_result_meta.json")))
+    print(json.dumps({
+        "config": 5, "generation_s": round(t_gen, 1),
+        "sampling_s": round(t_samp, 1),
+        "logz": round(meta["log_evidence"], 2),
+        "logz_err": round(meta["log_evidence_err"], 3),
+        "ncall": meta["num_likelihood_evaluations"],
+        "mc_median": float(np.median(z["posterior_chirp_mass"]))
+        if "posterior_chirp_mass" in z.files else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
