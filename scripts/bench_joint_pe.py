@@ -49,7 +49,9 @@ def main():
         "--minimum-frequency", "25.0", "--maximum-frequency", "1024.0",
         "--gw-detectors", "H1,L1,V1",
         "--waveform", "IMRPhenomD_NRTidalv2",
-        "--em-model", "Me2017"])
+        "--em-model", "Bu2019lm_sparse",
+        "--svd-path", os.path.join(REPO, "artifacts",
+                                   "Bu2019lm_sparse_svd.npz")])
     t_gen = time.time() - t0
     t0 = time.time()
     nmma_analysis(["--data-dump", dump, "--outdir", outdir,
@@ -57,13 +59,12 @@ def main():
                    "--dlogz", "0.1"])
     t_samp = time.time() - t0
     z = np.load(os.path.join(outdir, "cfg5_result.npz"))
-    meta = json.load(open(os.path.join(outdir, "cfg5_result_meta.json")))
     print(json.dumps({
         "config": 5, "generation_s": round(t_gen, 1),
         "sampling_s": round(t_samp, 1),
-        "logz": round(meta["log_evidence"], 2),
-        "logz_err": round(meta["log_evidence_err"], 3),
-        "ncall": meta["num_likelihood_evaluations"],
+        "logz": round(float(z["logz"]), 2),
+        "logz_err": round(float(z["logz_err"]), 3),
+        "ncall": int(z["ncall"]) if "ncall" in z.files else None,
         "mc_median": float(np.median(z["posterior_chirp_mass"]))
         if "posterior_chirp_mass" in z.files else None,
     }))
