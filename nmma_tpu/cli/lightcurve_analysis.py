@@ -182,8 +182,10 @@ def _single_run(args):
         import numpy as _np
 
         from ..mlmodel.inference import nnanalysis
-        post, _ = nnanalysis(analysis, seed=args.seed,
-                             verbose=args.verbose)
+        post, _ = nnanalysis(
+            analysis, seed=args.seed, verbose=args.verbose,
+            pretrained_embedding=getattr(args, "lfi_pretrained_embedding",
+                                         False))
         _np.savez(os.path.join(cfg.outdir, f"{cfg.label}_result.npz"),
                   sampler="neuralnet",
                   **{f"posterior_{k}": _np.asarray(v)

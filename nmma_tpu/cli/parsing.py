@@ -168,6 +168,10 @@ def base_analysis_parser(description=""):
     p.add_argument("--fits-file", type=str, default=None,
                    help="GW skymap FITS to build the inclination_EM prior "
                         "from (reference em/prior.py:80-171)")
+    p.add_argument("--lfi-pretrained-embedding", action="store_true",
+                   help="--sampler neuralnet conditions on the "
+                        "reference's shipped similarity embedding "
+                        "(ztf bands; mlmodel/pretrained.py)")
     p.add_argument("--detection-limit-fits-file", type=str, default=None,
                    help="m4opt LIMMAG HEALPix FITS: the detection limit "
                         "is read at --ra/--dec (reference "

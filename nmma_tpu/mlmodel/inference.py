@@ -25,9 +25,18 @@ class _ConditionalFlowNet(nn.Module):
     n_transforms: int = 6
     hidden: int = 90
     embed_dim: int = 20
+    # raw_context=True: the conditioning input is a precomputed context
+    # vector (e.g. the reference's pretrained similarity embedding) run
+    # through a small trainable projection, instead of the trainable
+    # light-curve ConvNet
+    raw_context: bool = False
 
     def setup(self):
-        self.embedding = LightCurveEmbedding(embed_dim=self.embed_dim)
+        if self.raw_context:
+            self.embedding = _RawContextProjection(
+                embed_dim=self.embed_dim)
+        else:
+            self.embedding = LightCurveEmbedding(embed_dim=self.embed_dim)
         self.flow = MaskedAutoregressiveFlow(
             dim=self.dim, n_transforms=self.n_transforms, hidden=self.hidden)
 
@@ -40,6 +49,15 @@ class _ConditionalFlowNet(nn.Module):
         if ctx.ndim == 2:
             ctx = ctx[0]
         return self.flow.sample(key, n, ctx)
+
+
+class _RawContextProjection(nn.Module):
+    embed_dim: int = 20
+
+    @nn.compact
+    def __call__(self, ctx):
+        h = nn.tanh(nn.Dense(self.embed_dim)(jnp.asarray(ctx)))
+        return nn.Dense(self.embed_dim)(h)
 
 
 @dataclass
@@ -76,11 +94,12 @@ class LFIPosterior:
 def train_flow_posterior(theta, lightcurves, parameter_names,
                          n_transforms=6, hidden=90, n_epochs=500,
                          batch_size=256, learning_rate=1e-3, seed=0,
-                         verbose=True) -> LFIPosterior:
+                         verbose=True, raw_context=False) -> LFIPosterior:
     """Fit q(theta | lc) by maximum likelihood on simulated pairs.
 
     theta [N, D]; lightcurves [N, F, T] (non-finite mags are zeroed by the
-    embedding, mirroring the reference's padding of non-detections).
+    embedding, mirroring the reference's padding of non-detections), or
+    precomputed context vectors [N, C] with ``raw_context=True``.
     """
     theta = np.asarray(theta, dtype=np.float32)
     lightcurves = np.asarray(lightcurves, dtype=np.float32)
@@ -91,7 +110,7 @@ def train_flow_posterior(theta, lightcurves, parameter_names,
     lc_all = jnp.asarray(lightcurves)
 
     net = _ConditionalFlowNet(dim=dim, n_transforms=n_transforms,
-                              hidden=hidden)
+                              hidden=hidden, raw_context=raw_context)
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     params = net.init(init_key, z_all[:2], lc_all[:2],
@@ -142,7 +161,8 @@ def train_flow_posterior(theta, lightcurves, parameter_names,
 
 
 def nnanalysis(analysis, n_train=3000, n_epochs=400, n_posterior=20000,
-               noise_scale=None, seed=0, verbose=True):
+               noise_scale=None, seed=0, verbose=True,
+               pretrained_embedding=False):
     """Amortized-posterior analysis of an assembled ``EMAnalysis``.
 
     Counterpart of ``nnanalysis`` (nmma/em/analysis.py:176-307, the
@@ -208,6 +228,46 @@ def nnanalysis(analysis, n_train=3000, n_epochs=400, n_posterior=20000,
     # with the same padding pattern for the same reason)
     cover = np.isfinite(obs)
     lcs = np.where(cover[None], lcs, np.nan)
+
+    if pretrained_embedding:
+        # condition on the reference's SHIPPED similarity embedding
+        # (mlmodel/pretrained.py; the reference's nnanalysis uses these
+        # weights for the ztf-band Ka2017 path, em/analysis.py:176-307):
+        # resample onto the 3 x 121 input the encoder was trained on,
+        # non-detections at the reference's detection_limit = 22.0
+        from .pretrained import PretrainedSimilarityEmbedding
+
+        ztf = ("ztfg", "ztfr", "ztfi")
+        filt_list = list(analysis.filters)
+        missing = [f for f in ztf if f not in filt_list]
+        if missing:
+            raise ValueError(
+                f"pretrained_embedding needs the ztf bands; missing "
+                f"{missing} (reference embedding.py bands)")
+        rows = [filt_list.index(f) for f in ztf]
+        t121 = np.linspace(t_grid[0], t_grid[-1], 121)
+
+        def to_input(batch_lcs):
+            sel = batch_lcs[:, rows, :]               # [N, 3, T]
+            out = np.empty((len(sel), 3, 121), dtype=np.float32)
+            for i in range(len(sel)):
+                for c in range(3):
+                    row = sel[i, c]
+                    good = np.isfinite(row)
+                    out[i, c] = (np.interp(t121, t_grid[good], row[good])
+                                 if good.sum() >= 2 else 22.0)
+            return np.minimum(np.nan_to_num(out, nan=22.0), 22.0)
+
+        encoder = PretrainedSimilarityEmbedding()
+        ctx_train = np.asarray(encoder(to_input(lcs)))
+        ctx_obs = np.asarray(encoder(to_input(obs[None])))[0]
+        posterior = train_flow_posterior(theta, ctx_train, names,
+                                         n_epochs=n_epochs, seed=seed,
+                                         verbose=verbose,
+                                         raw_context=True)
+        samples = posterior.sample(samp_key, n_posterior,
+                                   jnp.asarray(ctx_obs))
+        return samples, posterior
 
     posterior = train_flow_posterior(theta, lcs, names, n_epochs=n_epochs,
                                      seed=seed, verbose=verbose)

@@ -98,3 +98,67 @@ def test_wrapper_context_encoder():
     assert np.all(np.isfinite(rep))
     # distinct light curves -> distinct representations
     assert np.std(rep, axis=0).max() > 1e-3
+
+
+def test_lfi_with_pretrained_context(tmp_path):
+    """--sampler neuralnet conditioned on the shipped similarity
+    embedding: the flow trains against the frozen 7-dim representation
+    and the posterior concentrates around truth (reference nnanalysis
+    with similarity_embedding_weights.pth)."""
+    import jax
+    import numpy as np
+
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.mlmodel.inference import nnanalysis
+    from nmma_tpu.priors import parse_prior_dict
+
+    truth = dict(log10_mej=-1.4, log10_vej=-1.0, beta=3.0,
+                 log10_kappa_r=0.5, luminosity_distance=40.0,
+                 timeshift=0.0)
+    data = create_light_curve_data(
+        truth, "Me2017", ["ztfg", "ztfr", "ztfi"],
+        sample_times=np.linspace(0.4, 9.0, 24), seed=4,
+        injection_error_budget=0.1)
+    priors = parse_prior_dict(
+        "log10_mej = Uniform(minimum=-2.2, maximum=-0.8)\n"
+        "log10_vej = Uniform(minimum=-1.6, maximum=-0.6)\n"
+        "beta = 3.0\nlog10_kappa_r = 0.5\n"
+        "luminosity_distance = 40.0\ntimeshift = 0.0\n")
+    cfg = EMAnalysisConfig(model="Me2017", trigger_time=0.0, tmin=0.1,
+                           tmax=12.0, n_tsteps=48, error_budget=0.2)
+    ana = EMAnalysis(cfg, data=data, priors=priors)
+    post, posterior = nnanalysis(ana, n_train=600, n_epochs=150,
+                                 n_posterior=2000, seed=1, verbose=False,
+                                 pretrained_embedding=True)
+    med = float(np.median(post["log10_mej"]))
+    assert abs(med - truth["log10_mej"]) < 0.45, med
+    assert posterior.net.raw_context
+
+
+def test_lfi_pretrained_requires_ztf_bands():
+    import numpy as np
+    import pytest as _pytest
+
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.mlmodel.inference import nnanalysis
+    from nmma_tpu.priors import parse_prior_dict
+
+    truth = dict(log10_mej=-1.4, log10_vej=-1.0, beta=3.0,
+                 log10_kappa_r=0.5, luminosity_distance=40.0,
+                 timeshift=0.0)
+    data = create_light_curve_data(
+        truth, "Me2017", ["2massj"],
+        sample_times=np.linspace(0.4, 9.0, 12), seed=4)
+    priors = parse_prior_dict(
+        "log10_mej = Uniform(minimum=-2.2, maximum=-0.8)\n"
+        "log10_vej = -1.0\nbeta = 3.0\nlog10_kappa_r = 0.5\n"
+        "luminosity_distance = 40.0\ntimeshift = 0.0\n")
+    ana = EMAnalysis(EMAnalysisConfig(model="Me2017", trigger_time=0.0,
+                                      tmin=0.1, tmax=12.0, n_tsteps=24,
+                                      error_budget=0.2),
+                     data=data, priors=priors)
+    with _pytest.raises(ValueError, match="ztf"):
+        nnanalysis(ana, n_train=8, n_epochs=1, verbose=False,
+                   pretrained_embedding=True)
