@@ -159,7 +159,7 @@ def _mlp_forward(x, kernels, biases):
 
 
 def fiesta_surrogate_mags(data: FiestaSurrogateData, params, t_days,
-                          nu_host):
+                          nu_host, nu_nodes=None, nu_weights=None):
     """-> [F, T_out] absolute AB magnitudes on ``t_days``.
 
     GRB-mixin parameter conversions are applied key-wise first
@@ -197,15 +197,29 @@ def fiesta_surrogate_mags(data: FiestaSurrogateData, params, t_days,
         y = _mlp_forward(x, data.kernels, data.biases)      # [Nu*T]
         y = y * (data.y_max - data.y_min) + data.y_min
         log_flux = y.reshape(len(data.nus), len(data.times))  # [Nu, T]
-        # read off each filter's frequency by log-nu interpolation
         log_nu_grid = jnp.log10(jnp.asarray(data.nus))
-        log_nu_q = jnp.log10(jnp.asarray(nu_host))
-        idx = jnp.clip(jnp.searchsorted(log_nu_grid, log_nu_q) - 1, 0,
-                       len(data.nus) - 2)
-        lo = log_nu_grid[idx]
-        hi = log_nu_grid[idx + 1]
-        w = jnp.clip((log_nu_q - lo) / (hi - lo), 0.0, 1.0)[:, None]
-        log_f = (1 - w) * log_flux[idx] + w * log_flux[idx + 1]  # [F, T]
+
+        def flux_rows(nu_q):
+            """log10 F_nu at query frequencies [Q] -> [Q, T]."""
+            log_nu_q = jnp.log10(jnp.asarray(nu_q))
+            idx = jnp.clip(jnp.searchsorted(log_nu_grid, log_nu_q) - 1, 0,
+                           len(data.nus) - 2)
+            lo = log_nu_grid[idx]
+            hi = log_nu_grid[idx + 1]
+            w = jnp.clip((log_nu_q - lo) / (hi - lo), 0.0, 1.0)[:, None]
+            return (1 - w) * log_flux[idx] + w * log_flux[idx + 1]
+
+        if nu_nodes is not None:
+            # transmission-weighted band integral over the flux grid
+            # (same quadrature as the blackbody/spectral kernels)
+            from jax.scipy.special import logsumexp
+            f, k = nu_nodes.shape
+            log_f_nodes = flux_rows(nu_nodes.reshape(f * k)) \
+                .reshape(f, k, -1) * jnp.log(10.0)          # ln F
+            logw = jnp.log(jnp.maximum(nu_weights, 1e-30))[:, :, None]
+            log_f = logsumexp(log_f_nodes + logw, axis=1) / jnp.log(10.0)
+        else:
+            log_f = flux_rows(nu_host)                       # [F, T]
         # log10 F_nu [mJy at 10 pc] -> absolute AB magnitude
         mags = -2.5 * log_f + 16.4
 
@@ -222,8 +236,16 @@ def fiesta_surrogate_mags(data: FiestaSurrogateData, params, t_days,
 
 def make_fiesta_source_model(name: str,
                              data: FiestaSurrogateData) -> SourceModel:
-    def mags_fn(params, t_days, nu_host):
-        return fiesta_surrogate_mags(data, params, t_days, nu_host)
+    if data.kind == "flux":
+        def mags_fn(params, t_days, nu_host, nu_nodes=None,
+                    nu_weights=None):
+            return fiesta_surrogate_mags(data, params, t_days, nu_host,
+                                         nu_nodes, nu_weights)
+    else:
+        # per-filter-trained surrogates emit band mags directly; the
+        # quadrature does not apply
+        def mags_fn(params, t_days, nu_host):
+            return fiesta_surrogate_mags(data, params, t_days, nu_host)
 
     model = SourceModel(
         name=name,

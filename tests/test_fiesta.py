@@ -249,3 +249,50 @@ def test_fiesta_cli_end_to_end(tmp_path):
     med_wind = float(np.median(np.asarray(post["log10_mej_wind"])))
     assert abs(med_dyn - theta["log10_mej_dyn"]) < 0.4
     assert abs(med_wind - theta["log10_mej_wind"]) < 0.4
+
+
+def test_flux_surrogate_bandpass_integration():
+    """Flux-grid fiesta surrogates integrate over the filter bandpass
+    when the detector quadrature is supplied; a flat-in-nu flux grid
+    must give the same mag banded vs point (AB invariance)."""
+    from nmma_tpu.filters import filters_to_quadrature
+
+    rng = np.random.default_rng(21)
+    nus = np.geomspace(1e13, 2e15, 16)
+    p, t = 2, len(TIMES)
+    # zero network -> constant scaled output 0.5 -> flat log-flux grid
+    data = FiestaSurrogateData(
+        name="FlatFlux", kind="flux", parameter_names=PARAMS,
+        parameter_distributions={},
+        times=TIMES, x_min=np.array([-3.0, -2.0]),
+        x_max=np.array([-1.0, -0.5]),
+        kernels=(np.zeros((p, 4)), np.zeros((4, len(nus) * t))),
+        biases=(np.zeros(4), np.full(len(nus) * t, 0.5)),
+        y_min=np.full(len(nus) * t, -4.0),
+        y_max=np.full(len(nus) * t, 0.0), nus=nus)
+    theta = {k: jnp.asarray(-1.5) for k in PARAMS}
+    filts = ["ztfg", "ztfr"]
+    nodes, weights = filters_to_quadrature(filts)
+    nu_eff = np.array([6.32e14, 4.71e14])
+    point = np.asarray(fiesta_surrogate_mags(
+        data, theta, jnp.asarray(TIMES), jnp.asarray(nu_eff)))
+    banded = np.asarray(fiesta_surrogate_mags(
+        data, theta, jnp.asarray(TIMES), jnp.asarray(nu_eff),
+        nu_nodes=jnp.asarray(nodes), nu_weights=jnp.asarray(weights)))
+    np.testing.assert_allclose(banded, point, atol=1e-4)
+    # a sloped spectrum shifts under the integral
+    data2 = FiestaSurrogateData(
+        name="SlopedFlux", kind="flux", parameter_names=PARAMS,
+        parameter_distributions={},
+        times=TIMES, x_min=data.x_min, x_max=data.x_max,
+        kernels=data.kernels, biases=data.biases,
+        y_min=np.tile(np.linspace(-8.0, 0.0, len(nus))[:, None],
+                      (1, t)).ravel(),
+        y_max=np.tile(np.linspace(-4.0, 4.0, len(nus))[:, None],
+                      (1, t)).ravel(), nus=nus)
+    point2 = np.asarray(fiesta_surrogate_mags(
+        data2, theta, jnp.asarray(TIMES), jnp.asarray(nu_eff)))
+    banded2 = np.asarray(fiesta_surrogate_mags(
+        data2, theta, jnp.asarray(TIMES), jnp.asarray(nu_eff),
+        nu_nodes=jnp.asarray(nodes), nu_weights=jnp.asarray(weights)))
+    assert np.max(np.abs(banded2 - point2)) > 1e-3
