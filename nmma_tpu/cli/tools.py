@@ -229,6 +229,11 @@ def gwem_hubble_estimate(cli_args=None):
     p.add_argument("--N-prior-samples", type=int, default=2000)
     p.add_argument("--cred-interval", type=float, default=0.95)
     p.add_argument("--p-value-threshold", type=float, default=None)
+    p.add_argument("--injected-distances", default=None,
+                   help="comma-separated true luminosity distances, one "
+                        "per event; required with --p-value-threshold "
+                        "(the two-sided GW-consistency cut, reference "
+                        "hubble_estimates.py:101-110)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--outdir", default="outdir")
     p.add_argument("--label", default="hubble")
@@ -248,12 +253,30 @@ def gwem_hubble_estimate(cli_args=None):
                                               h0_trend_from_kdes)
         rng = np.random.default_rng(args.seed)
         gw_files = args.gw_posterior_files.split(",")
+        if not (len(files) == len(gw_files) == len(redshifts)):
+            raise ValueError(
+                f"length mismatch: {len(files)} EM files, "
+                f"{len(gw_files)} GW files, {len(redshifts)} redshifts")
+        inj_d = None
+        if args.p_value_threshold:
+            if not args.injected_distances:
+                raise ValueError(
+                    "--p-value-threshold needs --injected-distances "
+                    "(the cut compares each GW posterior against the "
+                    "true distance)")
+            inj_d = [float(d) for d in args.injected_distances.split(",")]
+            if len(inj_d) != len(files):
+                raise ValueError(
+                    f"{len(inj_d)} injected distances for "
+                    f"{len(files)} events")
         em_kdes, gw_kdes = [], []
-        for em_path, gw_path, z in zip(files, gw_files, redshifts):
+        for i, (em_path, gw_path, z) in enumerate(
+                zip(files, gw_files, redshifts)):
             pair = event_h0_kdes(
                 load_posterior(em_path)["luminosity_distance"],
                 load_posterior(gw_path), z, rng=rng,
-                p_value_threshold=args.p_value_threshold)
+                p_value_threshold=args.p_value_threshold,
+                injected_distance=inj_d[i] if inj_d else None)
             if pair is not None:
                 em_kdes.append(pair[0])
                 gw_kdes.append(pair[1])
@@ -282,6 +305,9 @@ def gwem_hubble_estimate(cli_args=None):
               f"wrote {out}")
         return trend
 
+    if len(files) != len(redshifts):
+        raise ValueError(f"length mismatch: {len(files)} posterior "
+                         f"files, {len(redshifts)} redshifts")
     events = []
     for path, z in zip(files, redshifts):
         post = load_posterior(path)
@@ -319,28 +345,27 @@ def combine_eos(cli_args=None):
         eos_probs_from_posterior
     eos_set = load_macro_eos_set(args.eos_data)
     rng = np.random.default_rng(args.seed)
-    samples = []
+    probs = []
     for f in args.posterior_files.split(","):
         post = load_posterior(f)
         if not args.no_flat_mass_reweight and "chirp_mass" in post \
                 and "mass_ratio" in post:
             # reference-exact preprocessing: counts come from the
             # flat-mass-reweighted posterior
-            probs = eos_probs_from_posterior(post, eos_set.n_eos, rng=rng)
-            # convert the probability vector back to a pseudo-sample set
-            # for the shared combiner (weights preserved exactly)
-            samples.append(np.repeat(
-                np.arange(eos_set.n_eos),
-                np.round(probs * 100000).astype(int)))
+            probs.append(eos_probs_from_posterior(post, eos_set.n_eos,
+                                                  rng=rng))
         else:
-            samples.append(post["EOS"])
-    weights, trend = combine_eos_posteriors(samples, eos_set)
+            from ..post_processing.ns_characteristics import \
+                eos_index_weights
+            probs.append(eos_index_weights(post["EOS"], eos_set.n_eos))
+    weights, trend = combine_eos_posteriors(probs, eos_set,
+                                            as_probabilities=True)
     os.makedirs(args.outdir, exist_ok=True)
     np.savez(os.path.join(args.outdir, f"{args.label}.npz"),
              weights=weights, r14_trend=np.asarray(trend))
     med, lo, hi = trend[-1]
     print(f"R_1.4 = {med:.2f} +{hi - med:.2f} / -{med - lo:.2f} km "
-          f"({len(samples)} events)")
+          f"({len(probs)} events)")
     return weights, trend
 
 

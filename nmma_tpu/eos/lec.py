@@ -164,7 +164,11 @@ class LECEmulatorSet:
         def layers(tag):
             return tuple((z[f"{tag}_w{i}"], z[f"{tag}_b{i}"])
                          for i in range(int(z[f"n_{tag}"])))
-        split = tuple(int(v) for v in z["split"]) or None
+        # (n_low, n_high) are counts; the optional third element is the
+        # split MASS and must survive as a float
+        raw = [float(v) for v in z["split"]]
+        split = tuple(int(v) if i < 2 else v
+                      for i, v in enumerate(raw)) or None
         return cls(
             parameter_names=tuple(str(s) for s in z["parameter_names"]),
             feat_loc=z["feat_loc"], feat_scale=z["feat_scale"],

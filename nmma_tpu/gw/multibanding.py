@@ -52,16 +52,18 @@ def remaining_duration(f, chirp_mass):
 
 def build_bands(frequencies, duration, chirp_mass_min, n_bands=8,
                 t_buffer=0.5, gamma=4.0):
-    """(kept_indices [K], weights [K]) decimated quadrature over the grid.
+    """Stride layout for the coarse-grained quadrature.
 
-    Band edges are geometric in frequency; the decimation factor per band
-    follows the remaining-duration criterion at the band's LOW edge
-    evaluated for the smallest chirp mass in the prior (longest signal).
+    Returns ``(starts [K], counts [K])``: stride j covers grid indices
+    ``starts[j] : starts[j] + counts[j]``. Band edges are geometric in
+    frequency; the stride (decimation factor) per band follows the
+    remaining-duration criterion at the band's LOW edge evaluated for
+    the smallest chirp mass in the prior (longest signal).
     """
     f = np.asarray(frequencies, dtype=np.float64)
-    df = 1.0 / duration
+    duration = float(duration)
     edges = np.geomspace(f[0], f[-1], n_bands + 1)
-    kept, weights = [], []
+    starts, counts = [], []
     for b in range(n_bands):
         lo, hi = edges[b], edges[b + 1]
         sel = np.flatnonzero((f >= lo) & (f < hi if b < n_bands - 1
@@ -71,23 +73,28 @@ def build_bands(frequencies, duration, chirp_mass_min, n_bands=8,
         tau = remaining_duration(lo, chirp_mass_min) + t_buffer
         dec = max(1, int(duration / (gamma * tau)))
         take = sel[::dec]
-        kept.append(take)
-        weights.append(np.full(len(take), dec * df))
-        # Riemann-sum tail correction: the last decimated stride may
-        # overhang the band edge; shrink its weight to the actual span
-        overhang = (take[-1] + dec) - (sel[-1] + 1)
-        if overhang > 0:
-            weights[-1][-1] = (dec - overhang) * df
-    return np.concatenate(kept), np.concatenate(weights)
+        starts.append(take)
+        cnt = np.full(len(take), dec, dtype=np.int64)
+        # the last stride may overhang the band edge: shrink to the
+        # actual number of grid bins it covers
+        cnt[-1] = sel[-1] + 1 - take[-1]
+        counts.append(cnt)
+    return np.concatenate(starts), np.concatenate(counts)
 
 
 @dataclass
 class _IfoBands:
-    freqs: jnp.ndarray          # [K] kept frequencies
-    inv_asd: jnp.ndarray        # [K]
-    white_d_re: jnp.ndarray     # [K]
-    white_d_im: jnp.ndarray     # [K]
-    weights: jnp.ndarray        # [K] quadrature weights (replaces df)
+    """Coarse-grained per-stride sums, normalized by a reference ASD so
+    every stored array is O(1)-O(100) in float32 (1/PSD alone is ~1e46
+    and overflows; same trick as the dense likelihood's inverse-ASD
+    whitening)."""
+
+    freqs: jnp.ndarray          # [K] stride-center frequencies
+    d_norm_re: jnp.ndarray      # [K] asd_ref * sum_k d_k / psd_k
+    d_norm_im: jnp.ndarray      # [K]
+    p_norm: jnp.ndarray         # [K] psd_ref * sum_k 1 / psd_k
+    inv_asd_ref: float          # h_w = h / asd_ref (host float)
+    df: float
 
 
 class MBGWLikelihood:
@@ -106,33 +113,89 @@ class MBGWLikelihood:
         self._bands = []
         self.n_kept = 0
         for ifo in self.ifos:
-            idx, w = build_bands(ifo.frequencies, ifo.duration,
-                                 chirp_mass_min, n_bands=n_bands,
-                                 t_buffer=t_buffer, gamma=gamma)
-            psd = np.asarray(ifo.psd, dtype=np.float64)[idx]
-            inv_asd = np.where(np.isfinite(psd) & (psd > 0),
-                               1.0 / np.sqrt(psd), 0.0)
-            white = np.asarray(ifo.strain)[idx] * inv_asd
+            starts, counts = build_bands(ifo.frequencies, ifo.duration,
+                                         chirp_mass_min, n_bands=n_bands,
+                                         t_buffer=t_buffer, gamma=gamma)
+            f = np.asarray(ifo.frequencies, dtype=np.float64)
+            psd = np.asarray(ifo.psd, dtype=np.float64)
+            inv_psd = np.where(np.isfinite(psd) & (psd > 0), 1.0 / psd,
+                               0.0)
+            d_over_psd = np.asarray(ifo.strain) * inv_psd
+            # coarse-grain WITHIN each stride (Morisaki 2021 / bilby
+            # convention): noise bins are independent, so the data must
+            # be SUMMED over the stride, never subsampled-and-rescaled
+            # (that inflates the <n|h> variance by the stride length)
+            p_sum = np.add.reduceat(inv_psd, starts)
+            # Linear term: smooth d/psd by TIME-WINDOWING around the
+            # signal epoch before decimating (Morisaki 2021 §II.B / the
+            # bilby MB construction). The band-b content of any template
+            # within the time prior occupies a window of length
+            # ~tau(f_b_lo) + buffer around t_c, so windowing the data
+            # keeps <d|h> exact — signal AND noise parts — while making
+            # the integrand bandlimited to the stride rate (a strided
+            # SUM of the raw data instead cancels the rapidly rotating
+            # signal phase, and subsampling inflates the noise term).
+            df_ = 1.0 / float(ifo.duration)
+            m = np.round(f / df_).astype(int)     # global grid bins
+            n_fft = 2 * (m.max() + 1)
+            d_smooth = np.zeros(len(f), dtype=np.complex128)
+            band_of = np.zeros(len(f), dtype=np.int64)
+            uniq_counts = np.unique(counts)
+            stride_of = np.repeat(counts, counts)[:len(f)] \
+                if counts.sum() >= len(f) else None
+            # window per distinct stride length (bands share strides)
+            for dec in uniq_counts:
+                sel_strides = np.flatnonzero(counts == dec)
+                covered = np.concatenate(
+                    [np.arange(starts[j], starts[j] + counts[j])
+                     for j in sel_strides])
+                full = np.zeros(n_fft // 2 + 1, dtype=np.complex128)
+                full[m[covered]] = d_over_psd[covered]
+                x = np.fft.irfft(full, n_fft)
+                # total window = the stride-implied duration 1/(dec df):
+                # frequency samples at spacing dec*df exactly represent a
+                # time window of that length (wider windows ALIAS the
+                # windowed noise back into the decimated sum). The band
+                # construction guarantees the signal content
+                # (tau + buffer = window/gamma) fits inside.
+                n_keep = max(int(np.ceil(n_fft / (2.0 * max(dec, 1)))), 4)
+                w = np.zeros(n_fft)
+                w[:min(n_keep, n_fft)] = 1.0
+                w[-min(n_keep, n_fft):] = 1.0
+                sm = np.fft.rfft(x * w)
+                d_smooth[covered] = sm[m[covered]]
+            # decimated linear weights: D_j = dec_j * d_smooth(f_center)
+            centers = starts + counts // 2
+            d_sum = counts * d_smooth[np.minimum(centers, len(f) - 1)]
+            f_center = f[np.minimum(centers, len(f) - 1)]
+            good = inv_psd[inv_psd > 0]
+            psd_ref = 1.0 / float(np.median(good)) if good.size else 1.0
+            asd_ref = float(np.sqrt(psd_ref))
             self._bands.append(_IfoBands(
-                freqs=jnp.asarray(np.asarray(ifo.frequencies)[idx]),
-                inv_asd=jnp.asarray(inv_asd),
-                white_d_re=jnp.asarray(white.real),
-                white_d_im=jnp.asarray(white.imag),
-                weights=jnp.asarray(w)))
-            self.n_kept += len(idx)
+                freqs=jnp.asarray(f_center),
+                d_norm_re=jnp.asarray(d_sum.real * asd_ref),
+                d_norm_im=jnp.asarray(d_sum.imag * asd_ref),
+                p_norm=jnp.asarray(p_sum * psd_ref),
+                inv_asd_ref=1.0 / asd_ref,
+                df=1.0 / float(ifo.duration)))
+            self.n_kept += len(starts)
 
     def log_likelihood_ratio(self, parameters):
+        """<d|h> ~ 4 df sum_j conj(D_j) h(f_j), D_j = sum_stride d/psd;
+        <h|h> ~ 4 df sum_j |h(f_j)|^2 P_j, P_j = sum_stride 1/psd —
+        the linear-order coarse-grained inner products (the waveform is
+        smooth over a stride by the band construction)."""
         d_inner_h = jnp.asarray(0.0 + 0.0j)
         h_inner_h = jnp.asarray(0.0)
         for ifo, band in zip(self.ifos, self._bands):
             h = project_signal(ifo.detector, self.waveform, band.freqs,
                                parameters, self.trigger_time)
-            h_w = h * band.inv_asd
-            d_w = band.white_d_re + 1j * band.white_d_im
-            d_inner_h = d_inner_h + 4.0 * jnp.sum(
-                band.weights * jnp.conj(d_w) * h_w)
-            h_inner_h = h_inner_h + 4.0 * jnp.sum(
-                band.weights * (jnp.conj(h_w) * h_w).real)
+            h_w = h * band.inv_asd_ref
+            d_norm = band.d_norm_re + 1j * band.d_norm_im
+            d_inner_h = d_inner_h + 4.0 * band.df * jnp.sum(
+                jnp.conj(d_norm) * h_w)
+            h_inner_h = h_inner_h + 4.0 * band.df * jnp.sum(
+                band.p_norm * (jnp.conj(h_w) * h_w).real)
         if self.phase_marginalization:
             return _log_i0(jnp.abs(d_inner_h)) - 0.5 * h_inner_h
         return d_inner_h.real - 0.5 * h_inner_h

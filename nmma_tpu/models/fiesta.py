@@ -136,7 +136,9 @@ class FiestaSurrogateData:
                 continue
             p_lo = getattr(prior, "minimum", None)
             p_hi = getattr(prior, "maximum", None)
-            if p_lo is not None and (p_lo < lo or p_hi > hi):
+            below = p_lo is not None and p_lo < lo
+            above = p_hi is not None and p_hi > hi
+            if below or above:
                 problems.append(f"{key}: prior [{p_lo}, {p_hi}] outside "
                                 f"trained support [{lo}, {hi}]")
         if problems:

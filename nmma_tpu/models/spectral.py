@@ -107,13 +107,25 @@ def make_spectral_source_model(name, phase_days, wave_aa, flam,
                                                  jnp.inf)
             mag_nodes = jax.vmap(per_phase)(mag_j)           # [T_tpl, F*K]
             mag_nodes = mag_nodes.T.reshape(f, k, -1)        # [F, K, T_tpl]
-            # mags -> ln-flux (zero point cancels in the weighted mean)
+            # mags -> ln-flux (zero point cancels in the weighted mean).
+            # Nodes outside the template's wavelength coverage are
+            # dropped and the weights renormalized over the finite ones
+            # (an all-finite requirement would blank any band whose
+            # published range slightly overhangs the template grid);
+            # bands with under half their transmission covered -> inf.
             from jax.scipy.special import logsumexp
+            finite = jnp.isfinite(mag_nodes)                 # [F, K, T]
             log_flux = -0.4 * jnp.log(10.0) * jnp.where(
-                jnp.isfinite(mag_nodes), mag_nodes, jnp.inf)
-            logw = jnp.log(jnp.maximum(nu_weights, 1e-30))[:, :, None]
-            log_mean = logsumexp(log_flux + logw, axis=1)    # [F, T_tpl]
-            mag_ft = jnp.where(jnp.all(jnp.isfinite(mag_nodes), axis=1),
+                finite, mag_nodes, jnp.inf)
+            logw = jnp.broadcast_to(
+                jnp.log(jnp.maximum(nu_weights, 1e-30))[:, :, None],
+                mag_nodes.shape)
+            logw_fin = jnp.where(finite, logw, -jnp.inf)
+            log_mean = logsumexp(log_flux + logw_fin, axis=1) \
+                - logsumexp(logw_fin, axis=1)                # [F, T_tpl]
+            covered = jnp.sum(jnp.where(finite, jnp.exp(logw), 0.0),
+                              axis=1)
+            mag_ft = jnp.where(covered > 0.5,
                                -2.5 / jnp.log(10.0) * log_mean, jnp.inf)
         else:
             log_nu_q = jnp.log(jnp.asarray(nu_host))         # [F]

@@ -19,10 +19,14 @@ def eos_index_weights(eos_samples, n_eos):
     return counts / counts.sum()
 
 
-def combine_eos_posteriors(event_eos_samples, eos_set, pdet=None):
+def combine_eos_posteriors(event_eos_samples, eos_set, pdet=None,
+                           as_probabilities=False):
     """Cumulative combined EOS weights + R14 credible trend.
 
-    Returns (combined_weights [N_eos], trend list of
+    ``event_eos_samples``: per event, either sampled (fractional) EOS
+    indices, or — with ``as_probabilities=True`` — an already-normalized
+    probability vector of length n_eos (exact; no pseudo-sample
+    round-trip). Returns (combined_weights [N_eos], trend list of
     (median R14, lo68, hi68) after each event).
     """
     n_eos = eos_set.n_eos
@@ -30,7 +34,15 @@ def combine_eos_posteriors(event_eos_samples, eos_set, pdet=None):
     log_w = np.log(np.asarray(eos_set.weights) + 1e-300)
     trend = []
     for samples in event_eos_samples:
-        w_event = eos_index_weights(samples, n_eos)
+        if as_probabilities:
+            w_event = np.asarray(samples, dtype=np.float64)
+            if w_event.shape != (n_eos,):
+                raise ValueError(
+                    f"probability vector has shape {w_event.shape}, "
+                    f"expected ({n_eos},)")
+            w_event = w_event / w_event.sum()
+        else:
+            w_event = eos_index_weights(samples, n_eos)
         if pdet is not None:
             w_event = w_event / np.maximum(pdet(np.asarray(eos_set.tov_mass)),
                                            1e-10)

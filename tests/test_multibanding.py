@@ -28,13 +28,15 @@ def ifos():
 
 def test_band_construction_compresses():
     f = np.arange(25.0, 1024.0, 1.0 / 64.0)
-    idx, w = build_bands(f, 64.0, chirp_mass_min=1.1)
-    assert len(idx) < len(f) / 5          # a real compression
-    # quadrature preserves total measure to the stride-tail level
-    np.testing.assert_allclose(w.sum(), (f[-1] - f[0]), rtol=0.02)
-    # high-frequency bands are decimated the hardest
-    assert np.all(np.diff(idx) >= 1)
-    assert np.max(np.diff(idx)) > 10
+    starts, counts = build_bands(f, 64.0, chirp_mass_min=1.1)
+    assert len(starts) < len(f) / 5       # a real compression
+    # the strides tile the grid exactly: every bin summed exactly once
+    ends = starts + counts
+    np.testing.assert_array_equal(
+        np.concatenate([starts[1:], [len(f)]]), ends)
+    assert counts.sum() == len(f)
+    # high-frequency bands use the longest strides
+    assert counts.max() > 10
     assert remaining_duration(25.0, 1.1) > remaining_duration(100.0, 1.1)
 
 
@@ -112,3 +114,37 @@ def test_mb_jit_and_phase_marginalization(ifos):
     b = float(mb.log_likelihood_ratio(INJ))
     np.testing.assert_allclose(a, b, rtol=1e-3)   # f32 op-reorder jitter
     assert np.isfinite(a)
+
+
+def test_mb_correct_with_noisy_data():
+    """The coarse-grained inner products must stay accurate on data with
+    an actual NOISE realization — the regime where subsampled decimation
+    (the round-3 first attempt) inflates the <n|h> variance by the
+    stride length (code-review finding)."""
+    rng = np.random.default_rng(7)
+    noisy = []
+    for ifo in [InterferometerData.zero_noise_injection(
+            n, INJ, duration=64.0, f_min=25.0, f_max=1024.0,
+            trigger_time=1187008882.4) for n in ("H1", "L1")]:
+        # whitened-unit Gaussian frequency-domain noise at the PSD level
+        sigma = np.sqrt(np.asarray(ifo.psd) * ifo.duration / 4.0)
+        noise = sigma * (rng.normal(size=len(ifo.frequencies))
+                         + 1j * rng.normal(size=len(ifo.frequencies))) \
+            / np.sqrt(2.0)
+        noisy.append(InterferometerData(
+            name=ifo.name, frequencies=ifo.frequencies,
+            strain=np.asarray(ifo.strain) + noise, psd=ifo.psd,
+            duration=ifo.duration))
+    dense = GWTransientLikelihood(noisy, trigger_time=1187008882.4)
+    mb = MBGWLikelihood(noisy, chirp_mass_min=1.15,
+                        trigger_time=1187008882.4)
+    errs = []
+    for _ in range(6):
+        p = dict(INJ)
+        p["mass_1"] = INJ["mass_1"] + rng.uniform(-0.004, 0.004)
+        p["lambda_1"] = rng.uniform(100.0, 600.0)
+        errs.append(abs(float(dense.log_likelihood_ratio(p))
+                        - float(mb.log_likelihood_ratio(p))))
+    # subsampling would give O(sqrt(stride) * SNR) ~ tens here
+    assert np.median(errs) < 1.0, errs
+    assert max(errs) < 3.0, errs
