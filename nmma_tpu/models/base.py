@@ -29,7 +29,7 @@ import numpy as np
 
 from ..cosmology import distance_modulus, get_cosmology
 from ..filters import filters_to_frequencies
-from ..ops.extinction import extinction_mags_p92_smc
+from ..ops.extinction import band_extinction_mags_p92_smc
 
 # canonical parameter lists per model (reference: model_parameters_dict,
 # nmma/em/model.py:29-132)
@@ -194,11 +194,14 @@ class DetectorLightCurveModel:
         self._banded = "nu_nodes" in sig_params or any(
             p.kind is inspect.Parameter.VAR_KEYWORD
             for p in sig_params.values())
-        if self._banded:
-            from ..filters import filters_to_quadrature
-            nodes, weights = filters_to_quadrature(self.filters)
-            self.nu_nodes = jnp.asarray(nodes)
-            self.nu_weights = jnp.asarray(weights)
+        # the quadrature always exists: banded kernels integrate the
+        # source spectrum over it, and extinction is band-averaged over it
+        # for every model (delta-collapse filters make both reduce to
+        # point sampling)
+        from ..filters import filters_to_quadrature
+        nodes, weights = filters_to_quadrature(self.filters)
+        self.nu_nodes = jnp.asarray(nodes)
+        self.nu_weights = jnp.asarray(weights)
         self.sample_times = jnp.asarray(
             sample_times if sample_times is not None else self.source.time_grid()
         )
@@ -261,12 +264,15 @@ class DetectorLightCurveModel:
             # (nmma/em/model.py:526-529)
             return observable_times, mags / (1.0 + z) ** 2
 
+        # band-averaged extinction (transmission-weighted mean flux
+        # factor; exact point sampling for delta-quadrature filters)
         if self.extinction_law == "G23_MW":
-            from ..ops.extinction import extinction_mags_mw
-            ext_mag = extinction_mags_mw(self.nu_0s, jnp.asarray(p["Ebv"]))
+            from ..ops.extinction import band_extinction_mags_mw
+            ext_mag = band_extinction_mags_mw(
+                self.nu_nodes, self.nu_weights, jnp.asarray(p["Ebv"]))
         else:
-            ext_mag = extinction_mags_p92_smc(self.nu_0s,
-                                              jnp.asarray(p["Ebv"]), z)
+            ext_mag = band_extinction_mags_p92_smc(
+                self.nu_nodes, self.nu_weights, jnp.asarray(p["Ebv"]), z)
         redshift_correction = -2.5 * jnp.log10(1.0 + z)
         apparent = mags + ext_mag[:, None] + p["distance_modulus"] + redshift_correction
 

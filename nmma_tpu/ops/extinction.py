@@ -127,3 +127,30 @@ def extinction_factor_mw(nu, Ebv, Rv=3.1):
 
 def extinction_mags_mw(nu, Ebv, Rv=3.1):
     return -2.5 * jnp.log10(extinction_factor_mw(nu, Ebv, Rv))
+
+
+# ---------------------------------------------------------------------------
+# Band-averaged extinction: the dust screen multiplies the flux *inside*
+# the band integral, so the effective band attenuation is the
+# transmission-weighted mean of the flux factor,
+#     A_band = -2.5 log10( sum_k w_k 10^(-0.4 A(nu_k)) ),
+# not A(nu_eff). Exact for a flat-spectrum source; the residual
+# (covariance of the extinction slope with the source slope across the
+# band) is second-order in the bandwidth. The reference point-samples at
+# the filter wavelength (nmma/em/utils.py:373-459); the deviation is
+# quantified in tests/test_bandpass.py. Filters without bandpass data
+# carry a delta-function quadrature (weight 1 at nu_eff), reproducing
+# point sampling exactly.
+# ---------------------------------------------------------------------------
+def band_extinction_mags_p92_smc(nu_nodes, weights, Ebv, z):
+    """Band-averaged SMC host extinction [mag]; nu_nodes/weights [F, K]."""
+    fac = extinction_factor_p92_smc(nu_nodes, Ebv, z)
+    eff = jnp.sum(weights * fac, axis=-1)
+    return -2.5 * jnp.log10(jnp.maximum(eff, 1e-30))
+
+
+def band_extinction_mags_mw(nu_nodes, weights, Ebv, Rv=3.1):
+    """Band-averaged Galactic-foreground extinction [mag]."""
+    fac = extinction_factor_mw(nu_nodes, Ebv, Rv)
+    eff = jnp.sum(weights * fac, axis=-1)
+    return -2.5 * jnp.log10(jnp.maximum(eff, 1e-30))

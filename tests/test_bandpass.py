@@ -177,3 +177,66 @@ def test_banded_jit_vmap_discipline():
     batch = np.asarray(jax.vmap(f)(jnp.asarray([-1.5, -1.6])))
     np.testing.assert_allclose(batch[0][sel], eager[sel], rtol=1e-3,
                                atol=3e-3)
+
+
+def test_band_averaged_extinction():
+    """Extinction is band-averaged: exact for delta filters, quantified
+    deviation from nu_eff point sampling for wide bands."""
+    from nmma_tpu.filters import filters_to_frequencies, filters_to_quadrature
+    from nmma_tpu.ops.extinction import (
+        band_extinction_mags_mw, band_extinction_mags_p92_smc,
+        extinction_mags_mw, extinction_mags_p92_smc)
+
+    filts = ["ztfg", "ztfr", "2massj", "radio-6GHz"]
+    nu_eff = jnp.asarray(filters_to_frequencies(filts))
+    nodes, weights = filters_to_quadrature(filts)
+    nodes = jnp.asarray(nodes)
+    weights = jnp.asarray(weights)
+
+    for ebv in (0.0, 0.2, 1.0):
+        point = np.asarray(extinction_mags_p92_smc(nu_eff, ebv, 0.05))
+        band = np.asarray(band_extinction_mags_p92_smc(
+            nodes, weights, ebv, 0.05))
+        if ebv == 0.0:
+            np.testing.assert_allclose(band, 0.0, atol=1e-6)
+        # delta-quadrature filter (radio) reproduces point sampling exactly
+        np.testing.assert_allclose(band[3], point[3], atol=1e-6)
+        # wide optical bands: band mean of the flux factor is brighter
+        # than the point value at nu_eff would suggest only through the
+        # curvature term; the deviation must be small but nonzero
+        d = np.abs(band[:3] - point[:3])
+        assert np.all(d < 0.1 * max(ebv, 1e-3) + 1e-9)
+        if ebv >= 0.2:
+            assert d.max() > 1e-4
+    print(f"\nSMC band-vs-point extinction at Ebv=1: "
+          f"{np.abs(np.asarray(band_extinction_mags_p92_smc(nodes, weights, 1.0, 0.05)) - np.asarray(extinction_mags_p92_smc(nu_eff, 1.0, 0.05)))[:3]}")
+
+    # MW law as well
+    point = np.asarray(extinction_mags_mw(nu_eff, 0.3))
+    band = np.asarray(band_extinction_mags_mw(nodes, weights, 0.3))
+    np.testing.assert_allclose(band[3], point[3], atol=1e-6)
+    assert np.all(np.abs(band[:3] - point[:3]) < 0.05)
+
+
+def test_detector_model_band_extinction_delta_filters_unchanged():
+    """For delta-quadrature filters the detector assembly's extinction is
+    bit-identical to the old nu_eff path (regression pin)."""
+    from nmma_tpu.models import DetectorLightCurveModel
+    from nmma_tpu.ops.extinction import extinction_mags_p92_smc
+
+    model = DetectorLightCurveModel(
+        "Me2017", ["radio-6GHz", "X-ray-1keV"],
+        sample_times=np.geomspace(0.1, 8.0, 24))
+    base = dict(log10_mej=-1.5, log10_vej=-1.0, beta=3.0,
+                log10_kappa_r=0.5, luminosity_distance=40.0,
+                timeshift=0.0)
+    _, m0 = model({**base, "Ebv": 0.0})
+    _, m1 = model({**base, "Ebv": 0.4})
+    p = model.prepare_parameters({**base, "Ebv": 0.4})
+    expected = np.asarray(extinction_mags_p92_smc(
+        model.nu_0s, jnp.asarray(0.4), jnp.asarray(p["redshift"])))
+    got = np.asarray(m1 - m0)
+    sel = np.isfinite(np.asarray(m0))
+    np.testing.assert_allclose(
+        got[sel], np.broadcast_to(expected[:, None], got.shape)[sel],
+        rtol=1e-5, atol=1e-5)
