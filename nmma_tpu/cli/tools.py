@@ -575,15 +575,35 @@ def svdmodel_download(cli_args=None):
     p.add_argument("--svd-path", default=None,
                    help="models home (default $NMMA_TPU_MODELS)")
     p.add_argument("--filters", default=None)
+    p.add_argument("--registry-url", default=None,
+                   help="registry base URL "
+                        "(default $NMMA_TPU_REGISTRY_URL, then the "
+                        "public nmma-models GitLab)")
+    p.add_argument("--refresh-models-list", action="store_true",
+                   help="re-fetch models.yaml before resolving")
     args = apply_config(p, config, argv)
 
-    from ..registry import get_model
+    from .. import registry
 
-    path = get_model(
-        args.model, models_home=args.svd_path,
-        filters=args.filters.split(",") if args.filters else None)
-    print(path)
-    return path
+    filters = args.filters.split(",") if args.filters else None
+    if args.refresh_models_list:
+        registry.refresh_models_list(args.svd_path,
+                                     base_url=args.registry_url)
+    try:
+        # native npz artifact (bundle hook / local models home)
+        path = registry.get_model(args.model, models_home=args.svd_path,
+                                  filters=filters)
+        print(path)
+        return path
+    except FileNotFoundError:
+        pass
+    # reference-format registry fetch (joblib core + per-filter files)
+    paths, _ = registry.download_model(
+        args.model, filters=filters, models_home=args.svd_path,
+        base_url=args.registry_url)
+    for pth in paths:
+        print(pth)
+    return paths
 
 
 def resample_grid(cli_args=None):

@@ -244,17 +244,25 @@ def _read_keras_h5_dense_stack(path):
     return w1, b1, w2, b2
 
 
-def ingest_nmma_svd_model(model_dir, model_name, filters=None):
+def ingest_nmma_svd_model(model_dir, model_name, filters=None,
+                          filter_dir=None):
     """Convert a reference svdmodel directory into ``SVDModelData``.
 
     Expects the reference layout: ``{model_name}.joblib`` core (VA, mins,
     maxs, tt, param bounds per filter; nmma/em/training.py:291-299) +
     per-filter ``{filt}.h5`` / ``{filt}.keras`` MLP weights. The per-filter
     pieces are stacked into the dense [F, ...] tensors our kernel wants.
+
+    ``filter_dir`` overrides where the per-filter weight files live — the
+    registry download layout (core/gitlab.py:225-232) puts the core at
+    ``{home}/{core_name}.joblib`` but the weights under
+    ``{home}/{model_name}/``.
     """
     import joblib
     core_path = os.path.join(model_dir, f"{model_name}.joblib")
     core = joblib.load(core_path)
+    if filter_dir is None:
+        filter_dir = model_dir
     if filters is None:
         filters = list(core.keys())
 
@@ -267,7 +275,7 @@ def ingest_nmma_svd_model(model_dir, model_name, filters=None):
         mins.append(np.asarray(sub["mins"]))
         maxs.append(np.asarray(sub["maxs"]))
         for ext in (".h5", ".keras"):
-            path = os.path.join(model_dir, f + ext)
+            path = os.path.join(filter_dir, f + ext)
             if os.path.exists(path):
                 break
         w1, b1, w2, b2 = _read_keras_h5_dense_stack(path)
