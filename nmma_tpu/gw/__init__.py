@@ -1,4 +1,6 @@
 from .detectors import Detector, get_detector
+from .fetch import (event_strain_catalog, fetch_event_strain,
+                    interferometers_from_gwosc)
 from .likelihood import GWTransientLikelihood, InterferometerData
 from .phenomd import imrphenomd, imrphenomd_nrtidalv2
 from .relative_binning import RelativeBinningGWLikelihood
