@@ -1,6 +1,7 @@
 from .detectors import Detector, get_detector
 from .fetch import (event_strain_catalog, fetch_event_strain,
                     interferometers_from_gwosc)
+from .gwf import gwf_channels, read_gwf, write_gwf
 from .likelihood import GWTransientLikelihood, InterferometerData
 from .phenomd import imrphenomd, imrphenomd_nrtidalv2
 from .relative_binning import RelativeBinningGWLikelihood

@@ -62,8 +62,8 @@ def read_strain_file(path, channel=None, t0=None, sample_rate=None):
     - ``.npy/.npz``: 1-D array (needs ``t0``+``sample_rate``) or an
       archive with ``strain``/``data``, ``t0``, ``sample_rate`` entries.
 
-    GWF frame files are not supported offline (binary IGWD format; the
-    reference reads them through gwpy) — convert to HDF5/ASCII first.
+    - ``.gwf``: IGWD binary frames via :mod:`nmma_tpu.gw.gwf` (the
+      reference reads these through gwpy/frameCPP).
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gz":
@@ -85,9 +85,8 @@ def read_strain_file(path, channel=None, t0=None, sample_rate=None):
             sample_rate if sample_rate is not None
             else float(archive["sample_rate"]))
     if ext == ".gwf":
-        raise ValueError(
-            "GWF frame files are not readable offline; convert to "
-            "HDF5/ASCII (e.g. with gwpy on a connected machine)")
+        from .gwf import read_gwf
+        return read_gwf(path, channel=channel)
     return _read_ascii(path, t0, sample_rate)
 
 
