@@ -70,7 +70,9 @@ def _energy_profile(theta, e0, theta_core, theta_wing, b, jet_type):
 
 def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
                                jet_type=JET_GAUSSIAN, n_theta=N_THETA,
-                               n_phi=N_PHI, n_r=N_R, spread=None):
+                               n_phi=N_PHI, n_r=N_R, spread=None,
+                               _exact_omega=False, _cum_mass=False,
+                               _emit_spread=False, _spread_boost=1.0):
     """Observed flux density [mJy] on a (time, frequency) grid.
 
     Parameters (afterglowpy naming, nmma/em/model.py:39-53): log10_E0
@@ -218,19 +220,39 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
         # lands the peak time on the observed ~160 d and halves the flux
         # residual (see BENCHMARKS.md).
         gate = (gamma * theta_core < 1.0)
-        integrand = jnp.where(gate, cs / jnp.maximum(gamma * beta, 1e-6),
+        integrand = jnp.where(gate, _spread_boost * cs
+                              / jnp.maximum(gamma * beta, 1e-6),
                               0.0)                         # dtheta/dlnR
         dtheta = jnp.concatenate([
             jnp.zeros((n_theta, 1)),
             jnp.cumsum(0.5 * (integrand[:, 1:] + integrand[:, :-1]),
                        axis=1) * dlnr], axis=1)
         edge_eff = jnp.minimum(theta_max + dtheta, jnp.pi / 2.0)
-        spread_factor = (edge_eff / theta_max) ** 2
+        if _exact_omega:
+            spread_factor = ((1.0 - jnp.cos(edge_eff))
+                             / (1.0 - jnp.cos(theta_max)))
+        else:
+            spread_factor = (edge_eff / theta_max) ** 2
     else:
-        spread_factor = 1.0
+        spread_factor = jnp.ones((n_theta, n_r))
+
+    if _cum_mass:
+        # causal accounting: mass is swept at the instantaneous solid
+        # angle, M_eff(R) = int_0^R rho omega(r) r^2 dr, rather than
+        # retroactively inflating everything already swept
+        r3 = r17 ** 3
+        dr3 = jnp.diff(r3)
+        integ = jnp.concatenate([
+            spread_factor[:, :1] * r3[:1],
+            jnp.cumsum(0.5 * (spread_factor[:, 1:] + spread_factor[:, :-1])
+                       * dr3[None, :], axis=1) + spread_factor[:, :1]
+            * r3[:1]], axis=1)
+        mass_factor = integ / r3[None, :]
+    else:
+        mass_factor = spread_factor
 
     u2 = (e_iso50[:, None] + e_inj50) / (m_sw_c2_50[None, :]
-                                         * spread_factor)
+                                         * mass_factor)
     u2 = jnp.minimum(u2, 1e8)
     gamma = jnp.sqrt(1.0 + u2)
     beta = jnp.sqrt(u2 / (1.0 + u2))
@@ -300,13 +322,21 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     nu_obs = jnp.atleast_1d(jnp.asarray(nu_obs))                   # [F]
 
     # log-space dynamical tracks, shared across surface elements
+    if _emit_spread:
+        # the widened ring's electron count per ORIGINAL steradian grows
+        # with the same factor that inflates its swept mass (the other
+        # half of the energy-dilution bookkeeping)
+        n_e50_track = jnp.log(jnp.maximum(n_e50[None, :] * mass_factor,
+                                          1e-38))
+    else:
+        n_e50_track = jnp.broadcast_to(
+            jnp.log(jnp.maximum(n_e50, 1e-38)), gamma.shape)
     log_tracks = jnp.stack([
         jnp.log(gamma),
         jnp.log(jnp.maximum(nu_m_prime, 1e-30)),
         jnp.log(jnp.maximum(nu_c_prime, 1e-30)),
         jnp.log(jnp.maximum(p_max_prime, 1e-38)),
-        jnp.broadcast_to(jnp.log(jnp.maximum(n_e50, 1e-38)),
-                         gamma.shape),
+        n_e50_track,
     ])                                                             # [5, Th, R]
     # the hat contraction touches every lane (0 * inf = nan), so any
     # non-finite track value must be clamped; exp(+-88) spans f32
