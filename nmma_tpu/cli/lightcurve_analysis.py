@@ -185,7 +185,9 @@ def _single_run(args):
         post, _ = nnanalysis(
             analysis, seed=args.seed, verbose=args.verbose,
             pretrained_embedding=getattr(args, "lfi_pretrained_embedding",
-                                         False))
+                                         False),
+            vicreg_pretrain=getattr(args, "lfi_vicreg_pretrain", False),
+            vicreg_epochs=getattr(args, "lfi_vicreg_epochs", 60))
         _np.savez(os.path.join(cfg.outdir, f"{cfg.label}_result.npz"),
                   sampler="neuralnet",
                   **{f"posterior_{k}": _np.asarray(v)

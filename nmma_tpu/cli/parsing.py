@@ -172,6 +172,12 @@ def base_analysis_parser(description=""):
                    help="--sampler neuralnet conditions on the "
                         "reference's shipped similarity embedding "
                         "(ztf bands; mlmodel/pretrained.py)")
+    p.add_argument("--lfi-vicreg-pretrain", action="store_true",
+                   help="--sampler neuralnet runs the VICReg "
+                        "self-supervised embedding stage on the "
+                        "simulated set before flow training (reference "
+                        "mlmodel/embedding.py two-stage pipeline)")
+    p.add_argument("--lfi-vicreg-epochs", type=int, default=60)
     p.add_argument("--detection-limit-fits-file", type=str, default=None,
                    help="m4opt LIMMAG HEALPix FITS: the detection limit "
                         "is read at --ra/--dec (reference "

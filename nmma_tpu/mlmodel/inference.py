@@ -162,7 +162,8 @@ def train_flow_posterior(theta, lightcurves, parameter_names,
 
 def nnanalysis(analysis, n_train=3000, n_epochs=400, n_posterior=20000,
                noise_scale=None, seed=0, verbose=True,
-               pretrained_embedding=False):
+               pretrained_embedding=False, vicreg_pretrain=False,
+               vicreg_epochs=60):
     """Amortized-posterior analysis of an assembled ``EMAnalysis``.
 
     Counterpart of ``nnanalysis`` (nmma/em/analysis.py:176-307, the
@@ -265,6 +266,28 @@ def nnanalysis(analysis, n_train=3000, n_epochs=400, n_posterior=20000,
                                          n_epochs=n_epochs, seed=seed,
                                          verbose=verbose,
                                          raw_context=True)
+        samples = posterior.sample(samp_key, n_posterior,
+                                   jnp.asarray(ctx_obs))
+        return samples, posterior
+
+    if vicreg_pretrain:
+        # self-supervised VICReg stage on the simulated set, then freeze
+        # the representation and condition the flow on it (the
+        # reference's two-stage embedding.py -> flow pipeline)
+        from .vicreg import pretrain_similarity_embedding
+
+        embedder, vparams, _ = pretrain_similarity_embedding(
+            lcs, n_epochs=vicreg_epochs, seed=seed, verbose=verbose)
+
+        def represent(batch):
+            _, rep = embedder.apply(vparams, jnp.asarray(batch))
+            return np.asarray(rep)
+
+        ctx_train = represent(lcs)
+        ctx_obs = represent(obs[None])[0]
+        posterior = train_flow_posterior(theta, ctx_train, names,
+                                         n_epochs=n_epochs, seed=seed,
+                                         verbose=verbose, raw_context=True)
         samples = posterior.sample(samp_key, n_posterior,
                                    jnp.asarray(ctx_obs))
         return samples, posterior
