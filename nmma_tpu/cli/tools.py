@@ -89,10 +89,29 @@ def create_svdmodel(cli_args=None):
     cfg = SVDTrainingConfig(
         n_coeff=args.svd_ncoeff, hidden=args.hidden, n_epochs=args.n_epochs,
         tmin=args.tmin, tmax=args.tmax, n_tsteps=args.n_tsteps)
-    svd = train_svd_model(entries, pnames, filters, cfg)
     os.makedirs(args.svd_path, exist_ok=True)
-    out = os.path.join(args.svd_path, f"{args.model}.npz")
-    svd.save(out)
+    # backend dispatch mirrors the reference's SVDTrainingModel factory
+    # (nmma/em/training.py:518-540): keras-family -> MLP, sklearn_gp ->
+    # optimized exact GPs, api_gp -> fixed compact-kernel GPs
+    itype = args.interpolation_type
+    if itype in ("sklearn_gp", "api_gp"):
+        from ..training import (save_gp_surrogate, train_svd_compact_gp_model,
+                                train_svd_gp_model)
+        if itype == "api_gp":
+            meta, gp = train_svd_compact_gp_model(entries, pnames, filters,
+                                                  cfg)
+        else:
+            meta, gp = train_svd_gp_model(entries, pnames, filters, cfg)
+        out = os.path.join(args.svd_path, f"{args.model}_{itype}.npz")
+        save_gp_surrogate(out, meta, gp)
+    elif itype in ("keras", "tensorflow", "jax", "torch"):
+        svd = train_svd_model(entries, pnames, filters, cfg)
+        out = os.path.join(args.svd_path, f"{args.model}.npz")
+        svd.save(out)
+    else:
+        raise ValueError(
+            "interpolation-type must be one of: keras, tensorflow, jax, "
+            f"torch, sklearn_gp, api_gp (got {itype!r})")
     print(f"saved surrogate to {out}")
     return out
 

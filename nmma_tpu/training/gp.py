@@ -129,12 +129,12 @@ def fit_gp_coefficients(x, coeffs, n_steps=400, learning_rate=0.05,
         shape=(f_n, c_n))
 
 
-def train_svd_gp_model(entries, parameter_names, filters, config=None,
-                       n_steps=400, verbose=True):
-    """SVD + GP-backend surrogate (interpolation-type 'sklearn_gp' analogue).
+def _svd_decompose(entries, parameter_names, filters, config=None):
+    """Shared grid -> (meta, normalized params x, SVD coefficients).
 
-    Returns (SVDModelData-compatible pieces, GPSurrogate); the eval path is
-    ``svd_gp_surrogate_mags``.
+    The per-filter SVD basis + min-max normalisation common to every GP
+    backend (the reference's ``BaseTrainingModel.generate_svd_model``,
+    nmma/em/training.py:118-176).
     """
     from .svd import SVDTrainingConfig, _interp_grid
     cfg = config or SVDTrainingConfig()
@@ -157,15 +157,66 @@ def train_svd_gp_model(entries, parameter_names, filters, config=None,
         coeff_list.append(norm[:, j, :] @ vt.T[:, :n_c])
     va = np.stack(va_list)
     coeffs = np.stack(coeff_list, axis=1)
-
-    gp = fit_gp_coefficients(x, coeffs, n_steps=n_steps, verbose=verbose)
     meta = dict(filters=tuple(filters), parameter_names=tuple(parameter_names),
                 tt=tt, va=va, mins=mins, maxs=maxs, param_mins=p_mins,
                 param_maxs=p_maxs)
+    return meta, x, coeffs
+
+
+def train_svd_gp_model(entries, parameter_names, filters, config=None,
+                       n_steps=400, verbose=True):
+    """SVD + GP-backend surrogate (interpolation-type 'sklearn_gp' analogue).
+
+    Returns (SVDModelData-compatible pieces, GPSurrogate); the eval path is
+    ``svd_gp_surrogate_mags``.
+    """
+    meta, x, coeffs = _svd_decompose(entries, parameter_names, filters,
+                                     config)
+    gp = fit_gp_coefficients(x, coeffs, n_steps=n_steps, verbose=verbose)
     return meta, gp
 
 
-def svd_gp_surrogate_mags(meta, gp: GPSurrogate, params, t_days):
+def save_gp_surrogate(path, meta, gp):
+    """One-file npz for either GP backend (counterpart of the reference's
+    joblib dump of ``svd_model``, nmma/em/training.py:425-427,466-468)."""
+    from .gp_compact import CompactGPSurrogate
+    payload = {f"meta_{k}": np.asarray(v) for k, v in meta.items()}
+    if isinstance(gp, CompactGPSurrogate):
+        payload.update(backend="api_gp", x_train=gp.x_train,
+                       alpha_vecs=gp.alpha_vecs, scale=gp.scale,
+                       shape=np.asarray(gp.shape))
+    else:
+        payload.update(backend="sklearn_gp", x_train=gp.x_train,
+                       alpha_vecs=gp.alpha_vecs, log_amp=gp.log_amp,
+                       log_length=gp.log_length, log_alpha=gp.log_alpha,
+                       shape=np.asarray(gp.shape))
+    np.savez_compressed(path, **payload)
+
+
+def load_gp_surrogate(path):
+    """Inverse of ``save_gp_surrogate`` -> (meta, surrogate)."""
+    from .gp_compact import CompactGPSurrogate
+    with np.load(path, allow_pickle=False) as z:
+        data = {k: z[k] for k in z.files}
+    meta = {k[5:]: data[k] for k in data if k.startswith("meta_")}
+    meta["filters"] = tuple(str(f) for f in meta["filters"])
+    meta["parameter_names"] = tuple(str(p)
+                                    for p in meta["parameter_names"])
+    shape = tuple(int(s) for s in data["shape"])
+    if str(data["backend"]) == "api_gp":
+        gp = CompactGPSurrogate(x_train=data["x_train"],
+                                alpha_vecs=data["alpha_vecs"],
+                                scale=data["scale"], shape=shape)
+    else:
+        gp = GPSurrogate(x_train=data["x_train"],
+                         alpha_vecs=data["alpha_vecs"],
+                         log_amp=data["log_amp"],
+                         log_length=data["log_length"],
+                         log_alpha=data["log_alpha"], shape=shape)
+    return meta, gp
+
+
+def svd_gp_surrogate_mags(meta, gp, params, t_days):
     """[F, T_out] magnitudes through the GP backend."""
     from ..ops.interp import masked_interp_sorted_fill
     theta = jnp.stack([jnp.asarray(params[p])
