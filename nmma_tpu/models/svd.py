@@ -111,8 +111,9 @@ class _SVDFastEval:
         self._grid = np.asarray(svd.tt, dtype=np.float64)
         self._ops = {}
 
-    def operator(self, t_days):
-        """(W [F*H, F*Q], offset [F*Q], inside [Q]) for a static grid."""
+    def operator_batched(self, t_days):
+        """(vtw_q [F, H, Q], offset [F, Q], inside [Q]) for a static grid:
+        the per-filter output blocks, interp folded in."""
         tq = np.asarray(t_days, dtype=np.float64)
         key = (tq.shape, tq.tobytes())
         hit = self._ops.get(key)
@@ -127,14 +128,26 @@ class _SVDFastEval:
         np.add.at(wi, (pos, np.arange(q)), 1.0 - frac)
         np.add.at(wi, (pos + 1, np.arange(q)), frac)
         inside = (tq >= grid[0]) & (tq <= grid[-1])
+        vtw_q = np.einsum("fht,tq->fhq", self._vtw, wi).astype(np.float32)
+        off_q = (self._voff @ wi).astype(np.float32)
+        entry = (vtw_q, off_q, inside)
+        self._ops[key] = entry
+        return entry
+
+    def operator(self, t_days):
+        """(W [F*H, F*Q], offset [F*Q], inside [Q]): the batched blocks
+        assembled into one dense block-diagonal operator."""
+        key = ("dense", np.asarray(t_days, dtype=np.float64).tobytes())
+        hit = self._ops.get(key)
+        if hit is not None:
+            return hit
+        vtw_q, off_q, inside = self.operator_batched(t_days)
         f, h = self.F, self.H
+        q = len(inside)
         w_out = np.zeros((f * h, f * q), dtype=np.float32)
-        offset = np.zeros(f * q, dtype=np.float32)
         for fi in range(f):
-            w_out[fi * h:(fi + 1) * h, fi * q:(fi + 1) * q] = \
-                self._vtw[fi] @ wi
-            offset[fi * q:(fi + 1) * q] = self._voff[fi] @ wi
-        entry = (w_out, offset, inside)
+            w_out[fi * h:(fi + 1) * h, fi * q:(fi + 1) * q] = vtw_q[fi]
+        entry = (w_out, off_q.reshape(f * q), inside)
         self._ops[key] = entry
         return entry
 
@@ -143,8 +156,23 @@ class _SVDFastEval:
                            for p in self.parameter_names])
         x = (theta - self.param_mins) / (self.param_maxs - self.param_mins)
         hid = jax.nn.relu(x @ self.w1_flat + self.b1_flat)       # [F*H]
-        w_out, offset, inside = self.operator(t_days)
-        m = (hid @ w_out + offset).reshape(self.F, -1)           # [F, Q]
+        # Two output-operator forms with identical math:
+        #  - "dense": one [F*H, F*Q] block-diagonal matmul. Wins at small
+        #    H (one big MXU op vs F launch-bound slivers; measured ~30x
+        #    over the batch-middle einsum at H=128).
+        #  - "batched": per-filter [H, Q] blocks contracted as a batched
+        #    matmul. At production dims (H=2048) the dense zero blocks
+        #    are F x wasted FLOPs/HBM, so the batched form wins there.
+        # NMMA_TPU_SVD_EVAL=dense|batched overrides the H>=1024 heuristic.
+        mode = os.environ.get("NMMA_TPU_SVD_EVAL", "auto")
+        batched = self.H >= 1024 if mode == "auto" else mode == "batched"
+        if batched:
+            vtw_q, off_q, inside = self.operator_batched(t_days)
+            m = jnp.einsum("fh,fhq->fq", hid.reshape(self.F, self.H),
+                           vtw_q) + off_q                        # [F, Q]
+        else:
+            w_out, offset, inside = self.operator(t_days)
+            m = (hid @ w_out + offset).reshape(self.F, -1)       # [F, Q]
         # beyond the trained time range the surrogate is not trusted:
         # inf fill (reference FIXME at lightcurve_generation.py:174-176)
         return jnp.where(inside[None, :], m, jnp.inf)

@@ -140,3 +140,32 @@ def test_chunked_batched_logl_consistency():
     chunked = np.asarray(jax.jit(ana.batched_logl)(jnp.asarray(u)))
     direct = np.asarray(ana._batched_logl(jnp.asarray(u)))
     np.testing.assert_allclose(chunked, direct, rtol=1e-3, atol=0.05)
+
+
+def test_fast_eval_modes_agree(monkeypatch):
+    """dense block-diagonal vs batched per-filter output operators are
+    numerically identical (the batched form skips the F x zero-block
+    FLOPs at production dims; NMMA_TPU_SVD_EVAL selects)."""
+    from nmma_tpu.models.svd import _SVDFastEval
+    rng = np.random.default_rng(5)
+    f, t, c, p, h = 3, 25, 5, 4, 32
+    svd = SVDModelData(
+        filters=tuple(f"f{i}" for i in range(f)),
+        parameter_names=("a", "b", "c", "d"),
+        tt=np.linspace(0.1, 5.0, t),
+        va=rng.normal(size=(f, t, c)),
+        mins=rng.uniform(-18, -16, (f, t)),
+        maxs=rng.uniform(-15, -13, (f, t)),
+        param_mins=np.zeros(p), param_maxs=np.ones(p),
+        w1=rng.normal(size=(f, p, h)), b1=rng.normal(size=(f, h)),
+        w2=rng.normal(size=(f, h, c)), b2=rng.normal(size=(f, c)))
+    ev = _SVDFastEval(svd)
+    params = {k: 0.2 * (i + 1) for i, k in enumerate("abcd")}
+    tq = np.linspace(0.0, 5.5, 21)   # includes out-of-range fill
+    monkeypatch.setenv("NMMA_TPU_SVD_EVAL", "dense")
+    a = np.asarray(ev(params, tq))
+    monkeypatch.setenv("NMMA_TPU_SVD_EVAL", "batched")
+    b = np.asarray(ev(params, tq))
+    assert np.array_equal(np.isfinite(a), np.isfinite(b))
+    fin = np.isfinite(a)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-5)
