@@ -83,7 +83,10 @@ def test_svdmodel_download_local_and_hook(tmp_path):
     finally:
         registry.set_download_hook(None)
 
-    with pytest.raises(FileNotFoundError):
+    # unknown model: ValueError, the reference's get_model contract
+    # (gitlab.py raise for a name missing from models.yaml); with the
+    # registry unreachable the message notes the local-scan fallback
+    with pytest.raises(ValueError, match="not found in models list"):
         svdmodel_download(["--model", "Absent", "--svd-path", str(home)])
 
 

@@ -64,7 +64,10 @@ def test_strain_io_roundtrip(tmp_path):
     back4 = read_strain_file(str(p4))
     np.testing.assert_allclose(back4.data, series.data)
 
-    with pytest.raises(ValueError):
+    # .gwf is a supported format since the IGWD reader landed: a
+    # missing file is FileNotFoundError (not unsupported-suffix
+    # ValueError)
+    with pytest.raises(FileNotFoundError):
         read_strain_file("nonexistent.gwf")
 
 
