@@ -76,6 +76,9 @@ def create_svdmodel(cli_args=None):
     p.add_argument("--tmax", type=float, default=14.0)
     p.add_argument("--n-tsteps", type=int, default=100)
     p.add_argument("--filters", default=None)
+    p.add_argument("--axial-symmetry", action="store_true",
+                   help="augment with KNtheta -> -theta / 180-theta "
+                        "mirror copies (reference em/training.py:764-779)")
     args = apply_config(p, config, argv)
 
     from ..training import (SVDTrainingConfig, read_bulla_grid,
@@ -86,6 +89,9 @@ def create_svdmodel(cli_args=None):
     entries, pnames, filters = read_bulla_grid(files, model=args.model)
     if args.filters:
         filters = args.filters.split(",")
+    if args.axial_symmetry:
+        from ..training.svd import axial_symmetry
+        entries = axial_symmetry(entries)
     cfg = SVDTrainingConfig(
         n_coeff=args.svd_ncoeff, hidden=args.hidden, n_epochs=args.n_epochs,
         tmin=args.tmin, tmax=args.tmax, n_tsteps=args.n_tsteps)

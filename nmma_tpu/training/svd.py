@@ -141,6 +141,26 @@ def read_bulla_grid(files, model="Bu2019lm_sparse", filters=None):
     return entries, parameter_names, list(filters)
 
 
+def axial_symmetry(entries):
+    """Augment a grid with the KNtheta -> -theta and 180-theta copies.
+
+    Counterpart of the reference's ``axial_symmetry``
+    (nmma/em/training.py:764-779): light curves are invariant under the
+    axial reflection of the observation angle, so every grid entry is
+    duplicated at the two mirrored angles with identical photometry.
+    """
+    if any("KNtheta" not in e["params"] for e in entries):
+        raise ValueError("unknown symmetry parameter")
+    out = list(entries)
+    for e in entries:
+        for theta in (-e["params"]["KNtheta"],
+                      180.0 - e["params"]["KNtheta"]):
+            p = dict(e["params"])
+            p["KNtheta"] = theta
+            out.append({**e, "params": p})
+    return out
+
+
 @dataclass
 class SVDTrainingConfig:
     n_coeff: int = 10

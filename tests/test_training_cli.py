@@ -55,3 +55,24 @@ def test_registry_load_registered_model(tmp_path, monkeypatch):
     _, mags = m(dict(log10_mej_dyn=-2.0, log10_mej_wind=-1.3,
                      luminosity_distance=40.0))
     assert np.isfinite(np.asarray(mags)).any()
+
+
+def test_axial_symmetry_augmentation():
+    """KNtheta mirror augmentation (reference em/training.py:764-779)."""
+    import numpy as np
+    import pytest
+
+    from nmma_tpu.training.svd import axial_symmetry
+    t = np.linspace(0.1, 5, 10)
+    e = {"params": {"KNtheta": 30.0, "log10_mej_dyn": -2.0},
+         "t": t, "mags": {"ztfg": np.linspace(18, 22, 10)}}
+    out = axial_symmetry([e])
+    assert len(out) == 3
+    thetas = sorted(x["params"]["KNtheta"] for x in out)
+    assert thetas == [-30.0, 30.0, 150.0]
+    # photometry shared, other params copied
+    for x in out:
+        np.testing.assert_array_equal(x["mags"]["ztfg"], e["mags"]["ztfg"])
+        assert x["params"]["log10_mej_dyn"] == -2.0
+    with pytest.raises(ValueError):
+        axial_symmetry([{"params": {"a": 1.0}, "t": t, "mags": {}}])
