@@ -79,6 +79,15 @@ def create_svdmodel(cli_args=None):
     p.add_argument("--axial-symmetry", action="store_true",
                    help="augment with KNtheta -> -theta / 180-theta "
                         "mirror copies (reference em/training.py:764-779)")
+    p.add_argument("--use-UnivariateSpline", dest="use_univariate_spline",
+                   action="store_true",
+                   help="smoothing-spline grid resampling (reference "
+                        "em/training.py:127-131)")
+    p.add_argument("--UnivariateSpline-s", dest="univariate_spline_s",
+                   type=float, default=2.0)
+    p.add_argument("--continue-training", action="store_true",
+                   help="resume from an existing saved surrogate "
+                        "(reference em/training.py:142-159)")
     args = apply_config(p, config, argv)
 
     from ..training import (SVDTrainingConfig, read_bulla_grid,
@@ -94,7 +103,9 @@ def create_svdmodel(cli_args=None):
         entries = axial_symmetry(entries)
     cfg = SVDTrainingConfig(
         n_coeff=args.svd_ncoeff, hidden=args.hidden, n_epochs=args.n_epochs,
-        tmin=args.tmin, tmax=args.tmax, n_tsteps=args.n_tsteps)
+        tmin=args.tmin, tmax=args.tmax, n_tsteps=args.n_tsteps,
+        univariate_spline=args.use_univariate_spline,
+        univariate_spline_s=args.univariate_spline_s)
     os.makedirs(args.svd_path, exist_ok=True)
     # backend dispatch mirrors the reference's SVDTrainingModel factory
     # (nmma/em/training.py:518-540): keras-family -> MLP, sklearn_gp ->
@@ -111,8 +122,19 @@ def create_svdmodel(cli_args=None):
         out = os.path.join(args.svd_path, f"{args.model}_{itype}.npz")
         save_gp_surrogate(out, meta, gp)
     elif itype in ("keras", "tensorflow", "jax", "torch"):
-        svd = train_svd_model(entries, pnames, filters, cfg)
         out = os.path.join(args.svd_path, f"{args.model}.npz")
+        init = None
+        if args.continue_training:
+            if os.path.exists(out):
+                from ..models.svd import SVDModelData
+                init = SVDModelData.load(out)
+                print(f"continuing training from {out}")
+            else:
+                import warnings
+                warnings.warn("--continue-training set, but no existing "
+                              "model found.")
+        svd = train_svd_model(entries, pnames, filters, cfg,
+                              init_model=init)
         svd.save(out)
     else:
         raise ValueError(

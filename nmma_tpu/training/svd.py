@@ -172,14 +172,33 @@ class SVDTrainingConfig:
     tmax: float = 14.0
     n_tsteps: int = 100
     seed: int = 42
+    # reference --use-UnivariateSpline / --UnivariateSpline-s
+    # (em/training.py:127-131, autocomplete_data 'spline' mode): smooth
+    # each grid light curve with a smoothing spline before sampling it
+    # onto the surrogate grid (host-side preprocessing, not a hot path)
+    univariate_spline: bool = False
+    univariate_spline_s: float = 2.0
 
 
-def _interp_grid(entries, filters, tt):
-    """[N, F, T] magnitudes on the surrogate grid (linear extrapolation)."""
+def _interp_grid(entries, filters, tt, spline=False, spline_s=2.0):
+    """[N, F, T] magnitudes on the surrogate grid (linear extrapolation,
+    or smoothing-spline resampling with ``spline=True``)."""
     n, f_n, t_n = len(entries), len(filters), len(tt)
     out = np.zeros((n, f_n, t_n))
     for i, e in enumerate(entries):
         for j, filt in enumerate(filters):
+            if spline:
+                from scipy.interpolate import UnivariateSpline
+                t_i = np.asarray(e["t"], dtype=float)
+                y_i = np.asarray(e["mags"][filt], dtype=float)
+                good = np.isfinite(t_i) & np.isfinite(y_i)
+                if good.sum() >= 4:
+                    sp = UnivariateSpline(t_i[good], y_i[good], s=spline_s)
+                    row = sp(np.asarray(tt))
+                    row[(tt < t_i[good].min()) | (tt > t_i[good].max())] \
+                        = np.nan
+                    out[i, j] = row
+                    continue
             out[i, j] = np.asarray(masked_interp_linear(
                 tt, e["t"], e["mags"][filt], fill_value=np.nan))
     return out
@@ -208,44 +227,80 @@ def _interp_spectra(entries, tt):
 
 def train_svd_model(entries, parameter_names, filters=None,
                     config: SVDTrainingConfig = SVDTrainingConfig(),
-                    verbose=True, data_type="photometry") -> SVDModelData:
+                    verbose=True, data_type="photometry",
+                    init_model: "SVDModelData" = None) -> SVDModelData:
+    """Train the stacked-MLP SVD surrogate.
+
+    ``init_model`` continues training from a previously saved surrogate
+    (reference ``continue_training``, em/training.py:142-159): the saved
+    basis, normalisations, and MLP weights are reused, and the new grid
+    is projected onto the SAVED basis so optimization resumes where the
+    earlier run stopped.
+    """
     cfg = config
-    tt = np.linspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
+    if init_model is not None:
+        tt = np.asarray(init_model.tt)
+    else:
+        tt = np.linspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
     if data_type == "spectroscopy":
         data, lam = _interp_spectra(entries, tt)        # [N, L, T] log10 f
         filters = [f"lambda_{l:.0f}" for l in lam]
     else:
-        data = _interp_grid(entries, filters, tt)       # [N, F, T]
+        data = _interp_grid(entries, filters, tt,
+                            spline=cfg.univariate_spline,
+                            spline_s=cfg.univariate_spline_s)  # [N, F, T]
     params = np.asarray([[e["params"][p] for p in parameter_names]
                          for e in entries])             # [N, P]
 
-    p_mins, p_maxs = params.min(0), params.max(0)
-    x = (params - p_mins) / (p_maxs - p_mins)
+    if init_model is not None:
+        if tuple(init_model.filters) != tuple(filters):
+            raise ValueError(
+                f"continue-training filter mismatch: saved "
+                f"{init_model.filters} vs requested {tuple(filters)}")
+        p_mins = np.asarray(init_model.param_mins)
+        p_maxs = np.asarray(init_model.param_maxs)
+        mins = np.asarray(init_model.mins)
+        maxs = np.asarray(init_model.maxs)
+        va = np.asarray(init_model.va)                  # [F, T, C]
+        n_c = va.shape[2]
+        x = (params - p_mins) / (p_maxs - p_mins)
+        span = np.where(maxs > mins, maxs - mins, 1.0)
+        norm = np.nan_to_num((data - mins) / span, nan=0.0)
+        coeffs = np.einsum("nft,ftc->nfc", norm, va)    # saved basis
+    else:
+        p_mins, p_maxs = params.min(0), params.max(0)
+        x = (params - p_mins) / (p_maxs - p_mins)
 
-    # per filter: min-max per time bin, SVD, coefficient projection
-    mins = data.min(axis=0)                             # [F, T]
-    maxs = data.max(axis=0)
-    span = np.where(maxs > mins, maxs - mins, 1.0)
-    norm = np.nan_to_num((data - mins) / span, nan=0.0)  # [N, F, T]
+        # per filter: min-max per time bin, SVD, coefficient projection
+        mins = data.min(axis=0)                         # [F, T]
+        maxs = data.max(axis=0)
+        span = np.where(maxs > mins, maxs - mins, 1.0)
+        norm = np.nan_to_num((data - mins) / span, nan=0.0)  # [N, F, T]
 
-    n_c = min(cfg.n_coeff, len(entries), len(tt))
-    va_list, coeff_list = [], []
-    for j in range(len(filters)):
-        _, _, vt = np.linalg.svd(norm[:, j, :], full_matrices=True)
-        va = vt.T[:, :n_c]                              # [T, C]
-        va_list.append(va)
-        coeff_list.append(norm[:, j, :] @ va)           # [N, C]
-    va = np.stack(va_list)                              # [F, T, C]
-    coeffs = np.stack(coeff_list, axis=1)               # [N, F, C]
+        n_c = min(cfg.n_coeff, len(entries), len(tt))
+        va_list, coeff_list = [], []
+        for j in range(len(filters)):
+            _, _, vt = np.linalg.svd(norm[:, j, :], full_matrices=True)
+            va_j = vt.T[:, :n_c]                        # [T, C]
+            va_list.append(va_j)
+            coeff_list.append(norm[:, j, :] @ va_j)     # [N, C]
+        va = np.stack(va_list)                          # [F, T, C]
+        coeffs = np.stack(coeff_list, axis=1)           # [N, F, C]
 
     # ---- batched MLP training over the filter axis ----
     key = jax.random.PRNGKey(cfg.seed)
     f_n, p_n, h_n = len(filters), params.shape[1], cfg.hidden
     k1, k2, k3 = jax.random.split(key, 3)
-    w1 = jax.random.normal(k1, (f_n, p_n, h_n)) * np.sqrt(2.0 / p_n)
-    w2 = jax.random.normal(k2, (f_n, h_n, n_c)) * np.sqrt(1.0 / h_n)
-    net = {"w1": w1, "b1": jnp.zeros((f_n, h_n)),
-           "w2": w2, "b2": jnp.zeros((f_n, n_c))}
+    if init_model is not None:
+        net = {"w1": jnp.asarray(init_model.w1),
+               "b1": jnp.asarray(init_model.b1),
+               "w2": jnp.asarray(init_model.w2),
+               "b2": jnp.asarray(init_model.b2)}
+    else:
+        w1 = jax.random.normal(k1, (f_n, p_n, h_n)) * np.sqrt(2.0 / p_n)
+        w2 = jax.random.normal(k2, (f_n, h_n, n_c)) * np.sqrt(1.0 / h_n)
+        net = {"w1": w1, "b1": jnp.zeros((f_n, h_n)),
+               "w2": w2, "b2": jnp.zeros((f_n, n_c))}
 
     n = len(entries)
     n_hold = max(1, int(round(n * cfg.holdout_fraction))) if n > 4 else 0

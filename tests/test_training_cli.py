@@ -76,3 +76,36 @@ def test_axial_symmetry_augmentation():
         assert x["params"]["log10_mej_dyn"] == -2.0
     with pytest.raises(ValueError):
         axial_symmetry([{"params": {"a": 1.0}, "t": t, "mags": {}}])
+
+
+def test_continue_training_and_spline_cli(tmp_path):
+    """--continue-training resumes from the saved surrogate (same basis,
+    lower/equal loss) and --use-UnivariateSpline smooths the grid
+    (reference em/training.py:127-159)."""
+    import numpy as np
+
+    from nmma_tpu.cli.tools import create_svdmodel
+    from nmma_tpu.models.svd import SVDModelData
+    base = ["--model", "Bu2019lm_sparse",
+            "--data-path", "/root/reference/nmma/tests/data/bulla",
+            "--svd-path", str(tmp_path), "--svd-ncoeff", "4",
+            "--n-epochs", "80", "--tmin", "0.2", "--n-tsteps", "30",
+            "--filters", "ztfg"]
+    out = create_svdmodel(base)
+    first = SVDModelData.load(out)
+    out2 = create_svdmodel(base + ["--continue-training"])
+    second = SVDModelData.load(out2)
+    # the basis is reused, the weights moved on
+    np.testing.assert_array_equal(first.va, second.va)
+    np.testing.assert_array_equal(first.mins, second.mins)
+    assert not np.array_equal(first.w1, second.w1)
+
+    # spline-smoothed training also runs end to end
+    out3 = create_svdmodel([
+        "--model", "Bu2019lm_sparse",
+        "--data-path", "/root/reference/nmma/tests/data/bulla",
+        "--svd-path", str(tmp_path / "sp"), "--svd-ncoeff", "4",
+        "--n-epochs", "40", "--tmin", "0.2", "--n-tsteps", "30",
+        "--filters", "ztfg", "--use-UnivariateSpline",
+        "--UnivariateSpline-s", "4.0"])
+    assert SVDModelData.load(out3).va.shape[2] == 4
