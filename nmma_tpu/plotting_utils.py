@@ -109,3 +109,61 @@ def fading_cmap(color, n=256, fade_to="white", reverse=False):
     c1 = to_rgb(color)
     colors = [c1, c0] if reverse else [c0, c1]
     return LinearSegmentedColormap.from_list(f"fade_{color}", colors, N=n)
+
+
+def sig_lims(values, quantiles=(0.16, 0.5, 0.84), sig_unc=2):
+    """LaTeX median +/- credible-interval string to significant figures.
+
+    Counterpart of ``sig_lims`` (nmma/core/utils.py:186-204): the number
+    of decimals is chosen so the SMALLER of the two one-sided errors
+    carries ``sig_unc`` significant figures (one fewer when its leading
+    digit is > 3, the Gelman rounding convention); used for corner-plot
+    titles and bestfit summaries.
+    """
+    q_low, q_mean, q_high = np.quantile(np.asarray(values), quantiles)
+    low_err = q_mean - q_low
+    high_err = q_high - q_mean
+    err = min(low_err, high_err)
+    if not np.isfinite(err) or err <= 0:
+        return f"${q_mean:.2f}$"
+    log_err = np.log10(err)
+    int_log = int(log_err) - 1 if log_err < 0 else int(log_err)
+    ord_error = sig_unc - 1 - int_log
+    if err / 10.0 ** int_log > 3:
+        ord_error -= 1
+    if ord_error >= 0:
+        fmt = f".{ord_error}f"
+        return (f"${{{q_mean:{fmt}}}}_{{-{low_err:{fmt}}}}"
+                f"^{{+{high_err:{fmt}}}}$")
+    q_mean, low_err, high_err = np.around(
+        [q_mean, low_err, high_err], ord_error)
+    return (f"${{{int(q_mean)}}}_{{-{int(low_err)}}}"
+            f"^{{+{int(high_err)}}}$")
+
+
+def nan_level(data, level, weights=None):
+    """[low, high] weighted credible bounds, charging NaNs to the level.
+
+    Counterpart of ``nan_level`` (nmma/core/utils.py:236-247): the NaN
+    fraction eats into the credible level (an EOS/TOV failure counts as
+    'outside the interval'); returns [nan, nan] once NaNs alone exceed
+    the level. Weighted quantiles use the inverted-CDF convention.
+    """
+    data = np.asarray(data, dtype=float)
+    nans = np.isnan(data)
+    clean = data[~nans]
+    nan_share = nans.sum() / len(data)
+    if nan_share > level:
+        return [np.nan, np.nan]
+    rest = level - nan_share
+    lo_q, hi_q = (1 - rest) / 2, 1 - (1 - rest) / 2
+    if weights is None:
+        return [np.quantile(clean, lo_q), np.quantile(clean, hi_q)]
+    w = np.asarray(weights, dtype=float)[~nans]
+    w = w / w.sum()
+    order = np.argsort(clean)
+    sorted_vals, cdf = clean[order], np.cumsum(w[order])
+    # inverted CDF: the smallest value whose cumulative weight >= q
+    lo = sorted_vals[np.searchsorted(cdf, lo_q, side="left")]
+    hi = sorted_vals[np.searchsorted(cdf, hi_q, side="left")]
+    return [lo, hi]

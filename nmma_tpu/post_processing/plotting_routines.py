@@ -115,6 +115,12 @@ def plot_multi_corner(posteriors, keys=None, labels=None, truths=None,
                             label=labels[c])
                 if truths and ki in truths:
                     ax.axvline(truths[ki], color="k", ls="--", lw=1)
+                if len(posteriors) == 1:
+                    # significant-figure quantile title (reference
+                    # sig_lims, core/utils.py:186-204)
+                    from ..plotting_utils import sig_lims
+                    ax.set_title(sig_lims(np.asarray(posteriors[0][ki])),
+                                 fontsize=9)
                 ax.set_yticks([])
             else:
                 for c, post in enumerate(posteriors):

@@ -106,3 +106,45 @@ def test_skyportal_converter(tmp_path):
     from nmma_tpu.io import load_em_observations
     data = load_em_observations(out)
     assert not np.isfinite(data["ztfr"]["mag_error"][0])
+
+
+def test_sig_lims_formatting():
+    """sig_lims renders median/err to significant figures (reference
+    core/utils.py:186-204)."""
+    import numpy as np
+
+    from nmma_tpu.plotting_utils import sig_lims
+    rng = np.random.default_rng(0)
+    s = sig_lims(rng.normal(1.234, 0.011, 20000))
+    assert s.startswith("$") and "_{-" in s and "^{+" in s
+    # error ~0.011 -> 2 sig figs at the 3rd decimal
+    assert "1.23" in s
+    # large-error branch rounds to integers
+    s2 = sig_lims(rng.normal(1200.0, 110.0, 20000))
+    assert "{1" in s2 and "." not in s2
+
+
+def test_nan_level_bounds():
+    """nan_level charges NaNs against the credible level (reference
+    core/utils.py:236-247)."""
+    import numpy as np
+
+    from nmma_tpu.plotting_utils import nan_level
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, 10000)
+    lo, hi = nan_level(x, 0.9)
+    assert abs(lo + 1.645) < 0.08 and abs(hi - 1.645) < 0.08
+    # 20% NaNs count as already-outside mass: the remaining interval
+    # covers only level - nan_share of the clean data, so it NARROWS
+    x_nan = x.copy()
+    x_nan[:2000] = np.nan
+    lo2, hi2 = nan_level(x_nan, 0.9)
+    assert lo2 > lo and hi2 < hi
+    # NaN share above the level: undefined
+    x_bad = x.copy()
+    x_bad[:9500] = np.nan
+    assert np.isnan(nan_level(x_bad, 0.9)).all()
+    # weighted: doubling weight on the right tail shifts bounds right
+    w = np.where(x > 0, 2.0, 1.0)
+    lo3, hi3 = nan_level(x, 0.9, weights=w)
+    assert lo3 > lo and hi3 > hi * 0.95
