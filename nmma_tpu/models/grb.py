@@ -19,12 +19,17 @@ Sari-Piran-Narayan (1998) synchrotron theory from the published physics:
 
 Everything is static-shape: [n_theta x n_phi] surface elements times a
 log R grid, vmappable over live-point batches. Lateral spreading follows
-the sound-speed conical-expansion model (Huang et al. 2000) and is ON by
-default, matching afterglowpy's spread=True default in the reference's
-TrPi2018 calls; pass spread=False (parameter or kwarg) to disable.
+the sound-speed conical-expansion rate (Huang et al. 2000) with the
+trumpet treatment (material moves to wider angles; emission geometry,
+Doppler pattern and arrival times follow) and is ON by default, matching
+afterglowpy's spread=True default in the reference's TrPi2018 calls;
+pass spread=False (parameter or kwarg) to disable, trumpet=False for the
+in-place energy-dilution approximation.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +56,12 @@ N_THETA = 48
 N_PHI = 24
 N_R = 256
 
+# hat-contraction lowering (see element_flux): "fused" keeps the [T, R]
+# hat basis in registers via a VPU multiply+reduce; "einsum" lowers to an
+# MXU dot that round-trips every hat matrix through HBM. einsum stays the
+# default until the fused path's TPU timing is in (parity verified).
+_CONTRACT_MODE = os.environ.get("NMMA_TPU_GRB_CONTRACT", "einsum")
+
 JET_TOPHAT = -1
 JET_GAUSSIAN = 0
 JET_POWERLAW = 4
@@ -71,6 +82,7 @@ def _energy_profile(theta, e0, theta_core, theta_wing, b, jet_type):
 def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
                                jet_type=JET_GAUSSIAN, n_theta=N_THETA,
                                n_phi=N_PHI, n_r=N_R, spread=None,
+                               trumpet=None,
                                _exact_omega=False, _cum_mass=False,
                                _emit_spread=False, _spread_boost=1.0):
     """Observed flux density [mJy] on a (time, frequency) grid.
@@ -204,6 +216,25 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     #    of the post-jet-break steepening. Emission stays on the original
     #    ring geometry (energy-dilution approximation).
     spread_on = spread if spread is not None else params.get("spread", True)
+    # trumpet mode (afterglowpy's spreading treatment, Ryan et al. 2020
+    # §3.1): the shocked material physically MOVES to wider angles as the
+    # jet spreads — the emission geometry, Doppler pattern, and arrival
+    # times all follow the widened cone, instead of only diluting the
+    # ring's energy in place. Implied bookkeeping: causal cumulative swept
+    # mass, emission from ALL swept electrons, exact solid angles.
+    # Default ON (round 3): on the GW170817 Gaussian-jet config it lands
+    # rise/peak-time/post-peak-decay on the observed morphology
+    # (+0.98/164 d/-2.34 vs observed +0.84/~160 d/-2.2) where the
+    # in-place energy-dilution approximation over-steepens the decay to
+    # -3.0; trumpet=False recovers the dilution treatment.
+    if trumpet is None:
+        trumpet = bool(params.get("trumpet", True))
+    if trumpet and not spread_on:
+        trumpet = False
+    if trumpet:
+        _exact_omega = True
+        _cum_mass = True
+        _emit_spread = True
     if spread_on:
         ghat = (4.0 * gamma + 1.0) / (3.0 * gamma)
         cs2 = (ghat * (ghat - 1.0) * (gamma - 1.0)) / \
@@ -233,8 +264,13 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
                              / (1.0 - jnp.cos(theta_max)))
         else:
             spread_factor = (edge_eff / theta_max) ** 2
+        # self-similar stretch of the ring geometry: ring i rides at
+        # theta_i(R) = theta_i0 * edge_eff_i(R)/theta_max (<= pi/2 since
+        # edge_eff is clipped there and theta_i0 <= theta_max)
+        theta_dyn = theta[:, None] * (edge_eff / theta_max)        # [Th, R]
     else:
         spread_factor = jnp.ones((n_theta, n_r))
+        theta_dyn = jnp.broadcast_to(theta[:, None], (n_theta, n_r))
 
     if _cum_mass:
         # causal accounting: mass is swept at the instantaneous solid
@@ -331,13 +367,19 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     else:
         n_e50_track = jnp.broadcast_to(
             jnp.log(jnp.maximum(n_e50, 1e-38)), gamma.shape)
-    log_tracks = jnp.stack([
+    track_list = [
         jnp.log(gamma),
         jnp.log(jnp.maximum(nu_m_prime, 1e-30)),
         jnp.log(jnp.maximum(nu_c_prime, 1e-30)),
         jnp.log(jnp.maximum(p_max_prime, 1e-38)),
         n_e50_track,
-    ])                                                             # [5, Th, R]
+    ]
+    if trumpet:
+        # 6th lane: the ring's instantaneous polar angle, resampled onto
+        # observer time like the dynamics so the Doppler pattern follows
+        # the laterally moving material
+        track_list.append(jnp.log(jnp.maximum(theta_dyn, 1e-6)))
+    log_tracks = jnp.stack(track_list)                          # [K, Th, R]
     # the hat contraction touches every lane (0 * inf = nan), so any
     # non-finite track value must be clamped; exp(+-88) spans f32
     log_tracks = jnp.clip(jnp.nan_to_num(log_tracks, nan=-88.0,
@@ -345,7 +387,7 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
                           -88.0, 88.0)
     log_q = jnp.log(t_obs)                                         # [T]
 
-    def element_flux(th_idx, mu_el):
+    def element_flux(th_idx, mu_el, cphi_el):
         """[F, T] flux contribution of one surface element (x dOmega).
 
         t_obs(R) = (1+z)(t_b - mu R/c) is strictly increasing in R
@@ -353,11 +395,24 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
         resampling of all five dynamical tracks is one hat-basis
         contraction in log t — gather-free (dynamic gathers dominated
         this kernel on TPU, same as the EM likelihood)."""
-        # cancellation-free EATS time (see t_delay above); both terms are
-        # positive and increasing in R, so log_t is strictly monotone
-        t_obs_grid = (1.0 + z) * (t_delay[th_idx]
-                                  + (1.0 - mu_el) * r_grid / c_cgs)
+        if trumpet:
+            # arrival time follows the moving material: mu varies with R
+            th_r = theta_dyn[th_idx]                                # [R]
+            mu_r = (jnp.cos(theta_v) * jnp.cos(th_r)
+                    + jnp.sin(theta_v) * jnp.sin(th_r) * cphi_el)
+            t_obs_grid = (1.0 + z) * (t_delay[th_idx]
+                                      + (1.0 - mu_r) * r_grid / c_cgs)
+        else:
+            # cancellation-free EATS time (see t_delay above); both terms
+            # are positive and increasing in R, so log_t is monotone
+            t_obs_grid = (1.0 + z) * (t_delay[th_idx]
+                                      + (1.0 - mu_el) * r_grid / c_cgs)
         log_t = jnp.log(jnp.maximum(t_obs_grid, 1e-10))             # [R]
+        if trumpet:
+            # material moving TOWARD the line of sight can compress
+            # arrival times; cummax restores monotonicity (plateau nodes
+            # become a convex combination via the hat normalization)
+            log_t = jax.lax.cummax(log_t)
         # deep-Sedov tail lanes can still push t to inf (beta underflow);
         # a finite ceiling keeps the hat diffs NaN-free (e^60 s is beyond
         # any observation, so those lanes carry zero weight)
@@ -370,29 +425,54 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
         up = (log_q[:, None] - x_l[None, :]) / dl[None, :]
         dn = (x_r[None, :] - log_q[:, None]) / drr[None, :]
         hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)               # [T, R]
-        # duplicate grid nodes (cummax plateaus) can each claim weight 1;
-        # normalising restores a convex combination (identity otherwise)
-        hat = hat / jnp.maximum(hat.sum(axis=1, keepdims=True), 1.0)
         tr = log_tracks[:, th_idx]                                  # [5, R]
-        # HIGHEST: the TPU MXU's default bf16 multiplies cost ~0.1 mag on
-        # log-space tracks of magnitude ~30-80
-        vals = jnp.exp(jnp.einsum("tr,kr->kt", hat, tr,
-                                  precision=jax.lax.Precision.HIGHEST))
+        if _CONTRACT_MODE == "einsum":
+            # duplicate grid nodes (cummax plateaus) can each claim weight
+            # 1; normalising restores a convex combination
+            hat_n = hat / jnp.maximum(hat.sum(axis=1, keepdims=True), 1.0)
+            # HIGHEST: the TPU MXU's default bf16 multiplies cost ~0.1 mag
+            # on log-space tracks of magnitude ~30-80
+            vals = jnp.exp(jnp.einsum("tr,kr->kt", hat_n, tr,
+                                      precision=jax.lax.Precision.HIGHEST))
+        else:
+            # fused multiply+reduce: with K=5 output lanes the MXU is 96%
+            # idle, and lowering to a dot forces the [T, R] hat operand out
+            # to HBM (~19 GB per 256-theta batch, the kernel's measured
+            # bottleneck).  A single VPU reduce fuses with the hat
+            # producer, so hats live only in registers; f32 accumulate
+            # natively.  The hat normalization (duplicate grid nodes each
+            # claim weight 1) is folded in as a ones-row so hat has
+            # exactly ONE reduce consumer — a separate hat.sum() forces
+            # XLA to materialize the [.., T, R] hat tensor to HBM.
+            k_lanes = tr.shape[0]
+            tr1 = jnp.concatenate([tr, jnp.ones((1, tr.shape[1]),
+                                                tr.dtype)])       # [K+1, R]
+            raw = jnp.sum(hat[None, :, :] * tr1[:, None, :], axis=-1)
+            denom = jnp.maximum(raw[k_lanes], 1.0)                  # [T]
+            vals = jnp.exp(raw[:k_lanes] / denom)
         in_range = (log_q >= log_t[0]) & (log_q <= log_t[-1])
-        g, num, nuc, pmax, ne50 = vals
+        g, num, nuc, pmax, ne50 = vals[:5]
         ne50 = jnp.where(in_range, ne50, 0.0)   # outside grid: no emission
 
         be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / g**2, 0.0))
-        doppler = 1.0 / (g * (1.0 - be * mu_el) + 1e-12)           # [T]
+        if trumpet:
+            th_t = vals[5]                                          # [T]
+            mu_t = (jnp.cos(theta_v) * jnp.cos(th_t)
+                    + jnp.sin(theta_v) * jnp.sin(th_t) * cphi_el)
+            doppler = 1.0 / (g * (1.0 - be * mu_t) + 1e-12)         # [T]
+        else:
+            doppler = 1.0 / (g * (1.0 - be * mu_el) + 1e-12)        # [T]
         nu_prime = nu_obs[:, None] * (1.0 + z) / doppler[None, :]  # [F, T]
         shape = _synchrotron_shape(nu_prime, num[None, :], nuc[None, :], p)
         # F_nu = (1+z) delta^3 P'max N_e shape dOmega / (4 pi dL^2)
         return ((1.0 + z) * doppler[None, :] ** 3 * pmax[None, :]
                 * ne50[None, :] * shape)
 
+    cphi = jnp.cos(phi)                                            # [Ph]
+
     def ring(th_idx):
         def one_phi(ph_idx):
-            return element_flux(th_idx, mu[th_idx, ph_idx])
+            return element_flux(th_idx, mu[th_idx, ph_idx], cphi[ph_idx])
         contrib = jax.vmap(one_phi)(jnp.arange(n_phi))             # [Ph, F, T]
         # each phi sample covers dphi = pi/n_phi, doubled by the [0, pi]
         # mirror symmetry: dOmega = d_cos * 2 pi / n_phi.  (Round-3 fix:
@@ -433,7 +513,7 @@ def _synchrotron_shape(nu, nu_m, nu_c, p):
 
 def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN,
                   grb_resolution=12.0, n_theta=N_THETA, n_phi=N_PHI,
-                  n_r=N_R, spread=None):
+                  n_r=N_R, spread=None, trumpet=None):
     """TrPi2018 absolute-magnitude rows [F, T].
 
     Matches the reference's flux path (``afterglowpy_lc``,
@@ -483,7 +563,8 @@ def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN,
     mjys = grb_afterglow_flux_density(t_grid, nu_obs, p,
                                       jet_type=jet_type, n_theta=n_theta,
                                       n_phi=n_phi, n_r=n_r,
-                                      spread=spread)               # [F, Tg]
+                                      spread=spread,
+                                      trumpet=trumpet)             # [F, Tg]
     mags_grid = flux_to_ab_mag(mjys, unit="mJy")
     log_tq = jnp.log(t_days)
     log_tg = jnp.log(t_grid)

@@ -185,7 +185,10 @@ def test_grid_convergence():
     t = np.geomspace(3.0, 1000.0, 60)
     nu = np.array([3e9, 5e14])
     base = np.asarray(grb_afterglow_flux_density(t, nu, GW170817_RYAN20))
-    for key, val in (("n_theta", 64), ("n_phi", 48), ("n_r", 512)):
+    # doubling of the round-3 defaults (48/24/256); n_theta=64 was the
+    # double of the round-2 default and sits on an oscillatory lobe of
+    # the ring-placement error (0.011 mag vs 0.007 at 96)
+    for key, val in (("n_theta", 96), ("n_phi", 48), ("n_r", 512)):
         hi = np.asarray(grb_afterglow_flux_density(t, nu, GW170817_RYAN20,
                                                    **{key: val}))
         dmag = np.abs(2.5 * np.log10(hi / base))
@@ -198,19 +201,37 @@ def test_gw170817_radio_golden_morphology():
     rise, ~t^-2.2 post-peak decline) at the Ryan+20 fit parameters.
 
     Round-3 state (after the 2pi solid-angle, EATS r_max, shock-velocity
-    time-mapping, and core-gated-spreading fixes, each verified against
-    the SPN98 on-axis analytics in test_grb_analytic_anchors.py): peak
-    187 uJy at 155 d — peak time ON the observed value, flux within a
-    factor 1.9 of the afterglowpy fit to the data. The windows below pin
-    that documented bound; the residual flux offset traces to the
-    energy-dilution spreading approximation vs afterglowpy's trumpet."""
+    time-mapping, core-gated-spreading and trumpet-spreading fixes, each
+    verified against the SPN98 on-axis analytics in
+    test_grb_analytic_anchors.py): peak 243 uJy at 164 d with rise +0.98
+    and decay -2.34 — rise, peak time and post-peak decay all ON the
+    observed morphology (the pre-trumpet energy-dilution treatment gave
+    decay -3.0, far steeper than the observed -2.2). The residual factor
+    ~2.4 flux offset is parameter-degenerate (E0/n0/eps_B) and partly a
+    median-vs-maximum-likelihood artifact of plugging in posterior
+    medians from a strongly degenerate fit."""
     t, f = _radio_curve(spread=True)
     i = int(np.argmax(f))
     peak_ujy = f[i] * 1e3
     assert 140.0 < t[i] < 220.0, t[i]
     assert 90.0 < peak_ujy < 400.0, peak_ujy
     assert 0.7 < _logslope(t, f, 10.0, 70.0) < 1.2
-    assert -3.3 < _logslope(t, f, 300.0, 900.0) < -2.0
+    # post-peak decay must track the observed ~t^-2.2 (window tightened
+    # round 3: the energy-dilution treatment's -3.0 now fails here)
+    assert -2.8 < _logslope(t, f, 300.0, 900.0) < -2.0
+
+
+def test_trumpet_vs_dilution_morphology():
+    """The trumpet treatment (default) must decay like the observed
+    GW170817 afterglow (~t^-2.2 ~ t^-p); the in-place energy-dilution
+    variant (trumpet=False) over-steepens — pinning both documents the
+    difference and keeps the variant alive."""
+    t, f_tr = _radio_curve(spread=True)
+    _, f_dil = _radio_curve(spread=True, trumpet=False)
+    s_tr = _logslope(t, f_tr, 300.0, 900.0)
+    s_dil = _logslope(t, f_dil, 300.0, 900.0)
+    assert -2.6 < s_tr < -2.1, s_tr
+    assert s_dil < -2.7, s_dil
 
 
 def test_spreading_steepens_post_peak_decay():
@@ -221,7 +242,10 @@ def test_spreading_steepens_post_peak_decay():
     _, f_off = _radio_curve(spread=False)
     on = _logslope(t, f_on, 300.0, 900.0)
     off = _logslope(t, f_off, 300.0, 900.0)
-    assert on < off - 0.4, (on, off)
+    # margin 0.4 -> 0.3 with the trumpet default: the moving material
+    # partially refills the light curve, softening (correctly — see the
+    # observed -2.2) the post-break steepening
+    assert on < off - 0.3, (on, off)
     # default == spread on
     _, f_default = _radio_curve()
     np.testing.assert_allclose(f_default, f_on, rtol=1e-6)

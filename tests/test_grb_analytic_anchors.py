@@ -127,7 +127,9 @@ def test_jet_break_slopes():
     late_off = _slope(t, f_off, 30.0, 90.0)
     # pre-break: BM-like (trans-relativistic band)
     assert -1.5 < early < -1.0, early
-    # post-break with spreading: near -p
+    # post-break with spreading: near -p (trumpet default gives -2.27
+    # for p=2.5; the energy-dilution variant -2.51)
     assert -3.2 < late_on < -2.1, late_on
-    # spreading steepens relative to edge-only
-    assert late_on < late_off - 0.3, (late_on, late_off)
+    # spreading steepens relative to edge-only (margin 0.3 -> 0.2 with
+    # the trumpet default, which softens the steepening toward -p)
+    assert late_on < late_off - 0.2, (late_on, late_off)
