@@ -228,7 +228,10 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     # in-place energy-dilution approximation over-steepens the decay to
     # -3.0; trumpet=False recovers the dilution treatment.
     if trumpet is None:
-        trumpet = bool(params.get("trumpet", True))
+        t_par = params.get("trumpet", True)
+        # a sampled/traced 'trumpet' column cannot steer Python control
+        # flow under jit; treat any array value as "use the default"
+        trumpet = bool(t_par) if isinstance(t_par, (bool, int)) else True
     if trumpet and not spread_on:
         trumpet = False
     if trumpet:
@@ -266,8 +269,14 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
             spread_factor = (edge_eff / theta_max) ** 2
         # self-similar stretch of the ring geometry: ring i rides at
         # theta_i(R) = theta_i0 * edge_eff_i(R)/theta_max (<= pi/2 since
-        # edge_eff is clipped there and theta_i0 <= theta_max)
-        theta_dyn = theta[:, None] * (edge_eff / theta_max)        # [Th, R]
+        # edge_eff is clipped there and theta_i0 <= theta_max); only the
+        # trumpet treatment moves the emission geometry — the
+        # energy-dilution variant keeps the rings in place
+        if trumpet:
+            theta_dyn = theta[:, None] * (edge_eff / theta_max)    # [Th, R]
+        else:
+            theta_dyn = jnp.broadcast_to(theta[:, None],
+                                         (n_theta, n_r))
     else:
         spread_factor = jnp.ones((n_theta, n_r))
         theta_dyn = jnp.broadcast_to(theta[:, None], (n_theta, n_r))
@@ -350,9 +359,6 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     # EATS: per (ring, phi) element resample dynamics at the burster time
     # solving t_obs = (1+z)(t_b - mu R / c)
     phi = (jnp.arange(n_phi) + 0.5) / n_phi * jnp.pi               # [Ph]
-    mu = (jnp.cos(theta_v) * jnp.cos(theta)[:, None]
-          + jnp.sin(theta_v) * jnp.sin(theta)[:, None]
-          * jnp.cos(phi)[None, :])                                 # [Th, Ph]
 
     t_obs = jnp.asarray(t_obs_day) * seconds_a_day                 # [T]
     nu_obs = jnp.atleast_1d(jnp.asarray(nu_obs))                   # [F]
@@ -367,19 +373,20 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     else:
         n_e50_track = jnp.broadcast_to(
             jnp.log(jnp.maximum(n_e50, 1e-38)), gamma.shape)
-    track_list = [
+    # 6th lane: the ring's instantaneous polar angle, resampled onto
+    # observer time like the dynamics so the Doppler pattern follows the
+    # laterally moving material (with trumpet=False theta_dyn is constant
+    # in R, so the resampled angle — and hence mu — is the static ring
+    # angle and the arrival-time cummax is an identity: the unified
+    # 6-lane form reproduces the fixed-geometry result exactly)
+    log_tracks = jnp.stack([
         jnp.log(gamma),
         jnp.log(jnp.maximum(nu_m_prime, 1e-30)),
         jnp.log(jnp.maximum(nu_c_prime, 1e-30)),
         jnp.log(jnp.maximum(p_max_prime, 1e-38)),
         n_e50_track,
-    ]
-    if trumpet:
-        # 6th lane: the ring's instantaneous polar angle, resampled onto
-        # observer time like the dynamics so the Doppler pattern follows
-        # the laterally moving material
-        track_list.append(jnp.log(jnp.maximum(theta_dyn, 1e-6)))
-    log_tracks = jnp.stack(track_list)                          # [K, Th, R]
+        jnp.log(jnp.maximum(theta_dyn, 1e-6)),
+    ])                                                          # [6, Th, R]
     # the hat contraction touches every lane (0 * inf = nan), so any
     # non-finite track value must be clamped; exp(+-88) spans f32
     log_tracks = jnp.clip(jnp.nan_to_num(log_tracks, nan=-88.0,
@@ -387,32 +394,56 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
                           -88.0, 88.0)
     log_q = jnp.log(t_obs)                                         # [T]
 
-    def element_flux(th_idx, mu_el, cphi_el):
+    # EATS resampling + synchrotron flux, summed over phi: dispatched
+    # through a custom-vmap primitive — batched TPU evaluation runs the
+    # VMEM-resident Pallas kernel (ops/pallas_grb.py), everything else
+    # the XLA hat-contraction form below.
+    scal = jnp.stack([jnp.asarray(z, jnp.float32) * jnp.ones(()),
+                      jnp.cos(theta_v), jnp.sin(theta_v),
+                      jnp.asarray(p) * jnp.ones(()),
+                      jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+                      jnp.zeros(())])                               # [8]
+    flux_elems = _eats_stage2(t_delay, log_tracks, r_grid, scal,
+                              log_q, jnp.cos(phi), nu_obs)          # [Th, F, T]
+    flux50 = flux_elems * ((2.0 * jnp.pi / n_phi)
+                           * d_cos[:, None, None])                 # [Th, F, T]
+    # F[mJy] = sum * 1e50 / (4 pi dL^2) / 1e-26; dL^2 (~1e53 cm^2)
+    # overflows f32, so scale distance as dL26 = dL/1e26 cm
+    d_l26 = d_l * 1e-26
+    coef = (1e50 / 1e52 / (4.0 * np.pi)) / _MJY   # == 1e24 / 4pi
+    return jnp.sum(flux50, axis=0) * coef / (d_l26 * d_l26)        # [F, T] mJy
+
+
+def _eats_stage2_xla(t_delay, log_tracks, r_grid, scal, log_q, cphi,
+                     nu_obs):
+    """Per-sample XLA EATS stage: [Th, F, T] flux elements (x dOmega),
+    summed over phi, unweighted (ring solid angles applied by the
+    caller). log_tracks[5] is log theta_dyn: the arrival-time map, the
+    Doppler pattern and the in-range mask all follow the (possibly
+    laterally moving) ring geometry."""
+    z, cos_tv, sin_tv, p = scal[0], scal[1], scal[2], scal[3]
+    n_theta = t_delay.shape[0]
+    theta_dyn = jnp.exp(log_tracks[5])                           # [Th, R]
+
+    def element_flux(th_idx, cphi_el):
         """[F, T] flux contribution of one surface element (x dOmega).
 
-        t_obs(R) = (1+z)(t_b - mu R/c) is strictly increasing in R
-        (dt_obs/dR ∝ 1/beta - mu > 0 for beta < 1, |mu| <= 1), so the
-        resampling of all five dynamical tracks is one hat-basis
-        contraction in log t — gather-free (dynamic gathers dominated
-        this kernel on TPU, same as the EM likelihood)."""
-        if trumpet:
-            # arrival time follows the moving material: mu varies with R
-            th_r = theta_dyn[th_idx]                                # [R]
-            mu_r = (jnp.cos(theta_v) * jnp.cos(th_r)
-                    + jnp.sin(theta_v) * jnp.sin(th_r) * cphi_el)
-            t_obs_grid = (1.0 + z) * (t_delay[th_idx]
-                                      + (1.0 - mu_r) * r_grid / c_cgs)
-        else:
-            # cancellation-free EATS time (see t_delay above); both terms
-            # are positive and increasing in R, so log_t is monotone
-            t_obs_grid = (1.0 + z) * (t_delay[th_idx]
-                                      + (1.0 - mu_el) * r_grid / c_cgs)
+        t_obs(R) = (1+z)(t_b - mu R/c) is strictly increasing in R for
+        fixed geometry (dt_obs/dR ∝ 1/beta - mu > 0 for beta < 1,
+        |mu| <= 1); material moving TOWARD the line of sight (trumpet
+        spreading) can compress arrival times, which the cummax
+        restores to monotone (plateau nodes become a convex combination
+        via the hat normalization). The resampling of all six dynamical
+        tracks is one hat-basis contraction in log t — gather-free
+        (dynamic gathers dominated this kernel on TPU, same as the EM
+        likelihood)."""
+        # arrival time follows the (possibly moving) material
+        th_r = theta_dyn[th_idx]                                    # [R]
+        mu_r = (cos_tv * jnp.cos(th_r) + sin_tv * jnp.sin(th_r) * cphi_el)
+        t_obs_grid = (1.0 + z) * (t_delay[th_idx]
+                                  + (1.0 - mu_r) * r_grid / c_cgs)
         log_t = jnp.log(jnp.maximum(t_obs_grid, 1e-10))             # [R]
-        if trumpet:
-            # material moving TOWARD the line of sight can compress
-            # arrival times; cummax restores monotonicity (plateau nodes
-            # become a convex combination via the hat normalization)
-            log_t = jax.lax.cummax(log_t)
+        log_t = jax.lax.cummax(log_t)
         # deep-Sedov tail lanes can still push t to inf (beta underflow);
         # a finite ceiling keeps the hat diffs NaN-free (e^60 s is beyond
         # any observation, so those lanes carry zero weight)
@@ -455,39 +486,60 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
         ne50 = jnp.where(in_range, ne50, 0.0)   # outside grid: no emission
 
         be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / g**2, 0.0))
-        if trumpet:
-            th_t = vals[5]                                          # [T]
-            mu_t = (jnp.cos(theta_v) * jnp.cos(th_t)
-                    + jnp.sin(theta_v) * jnp.sin(th_t) * cphi_el)
-            doppler = 1.0 / (g * (1.0 - be * mu_t) + 1e-12)         # [T]
-        else:
-            doppler = 1.0 / (g * (1.0 - be * mu_el) + 1e-12)        # [T]
+        # Doppler pattern follows the resampled (moving) ring angle
+        th_t = vals[5]                                              # [T]
+        mu_t = (cos_tv * jnp.cos(th_t) + sin_tv * jnp.sin(th_t) * cphi_el)
+        doppler = 1.0 / (g * (1.0 - be * mu_t) + 1e-12)             # [T]
         nu_prime = nu_obs[:, None] * (1.0 + z) / doppler[None, :]  # [F, T]
         shape = _synchrotron_shape(nu_prime, num[None, :], nuc[None, :], p)
         # F_nu = (1+z) delta^3 P'max N_e shape dOmega / (4 pi dL^2)
         return ((1.0 + z) * doppler[None, :] ** 3 * pmax[None, :]
                 * ne50[None, :] * shape)
 
-    cphi = jnp.cos(phi)                                            # [Ph]
-
     def ring(th_idx):
-        def one_phi(ph_idx):
-            return element_flux(th_idx, mu[th_idx, ph_idx], cphi[ph_idx])
-        contrib = jax.vmap(one_phi)(jnp.arange(n_phi))             # [Ph, F, T]
-        # each phi sample covers dphi = pi/n_phi, doubled by the [0, pi]
-        # mirror symmetry: dOmega = d_cos * 2 pi / n_phi.  (Round-3 fix:
-        # this weight was 1/n_phi — a missing 2 pi that suppressed every
-        # flux by 6.28x; caught by the SPN98 absolute-normalization tests,
-        # VERDICT r2 weak #5.)
-        return jnp.sum(contrib, axis=0) * (2.0 * jnp.pi / n_phi) * \
-            d_cos[th_idx]
+        def one_phi(cphi_el):
+            return element_flux(th_idx, cphi_el)
+        return jnp.sum(jax.vmap(one_phi)(cphi), axis=0)            # [F, T]
 
-    flux50 = jax.vmap(ring)(jnp.arange(n_theta))                   # [Th, F, T]
-    # F[mJy] = sum * 1e50 / (4 pi dL^2) / 1e-26; dL^2 (~1e53 cm^2)
-    # overflows f32, so scale distance as dL26 = dL/1e26 cm
-    d_l26 = d_l * 1e-26
-    coef = (1e50 / 1e52 / (4.0 * np.pi)) / _MJY   # == 1e24 / 4pi
-    return jnp.sum(flux50, axis=0) * coef / (d_l26 * d_l26)        # [F, T] mJy
+    # each phi sample covers dphi = pi/n_phi, doubled by the [0, pi]
+    # mirror symmetry: dOmega = d_cos * 2 pi / n_phi (weights applied by
+    # the caller; round-3 fix: this weight was 1/n_phi — a missing 2 pi
+    # that suppressed every flux by 6.28x, caught by the SPN98
+    # absolute-normalization tests, VERDICT r2 weak #5)
+    return jax.vmap(ring)(jnp.arange(n_theta))                     # [Th, F, T]
+
+
+@jax.custom_batching.custom_vmap
+def _eats_stage2(t_delay, log_tracks, r_grid, scal, log_q, cphi, nu_obs):
+    return _eats_stage2_xla(t_delay, log_tracks, r_grid, scal, log_q,
+                            cphi, nu_obs)
+
+
+@_eats_stage2.def_vmap
+def _eats_stage2_vmap(axis_size, in_batched, t_delay, log_tracks, r_grid,
+                      scal, log_q, cphi, nu_obs):
+    """Batched rule: a live-point batch on TPU goes through the Pallas
+    EATS kernel, which keeps every [T, R] hat matrix in VMEM (the XLA
+    einsum form round-trips ~19 GB of hat tensors through HBM per
+    256-theta batch); elsewhere fall back to vmapped XLA."""
+    batched = in_batched[:4]
+    aux = in_batched[4:]
+    use_pallas = (all(batched) and not any(aux)
+                  and t_delay.ndim == 3
+                  and t_delay.shape[-1] % 128 == 0
+                  and log_q.shape[0] % 8 == 0
+                  and jax.default_backend() == "tpu"
+                  and not os.environ.get("NMMA_TPU_DISABLE_PALLAS"))
+    if use_pallas:
+        from ..ops.pallas_grb import eats_flux_pallas
+        out = eats_flux_pallas(t_delay, log_tracks, r_grid, scal,
+                               log_q, cphi, nu_obs)
+        return out, True
+    mapped = jax.vmap(
+        _eats_stage2_xla,
+        in_axes=tuple(0 if bb else None for bb in in_batched))
+    return mapped(t_delay, log_tracks, r_grid, scal, log_q, cphi,
+                  nu_obs), True
 
 
 def _synchrotron_shape(nu, nu_m, nu_c, p):

@@ -1,0 +1,206 @@
+"""Pallas TPU kernel for the GRB EATS resampling + synchrotron stage.
+
+The XLA formulation (``models/grb.py`` ``_eats_stage2_xla``) builds a
+[T, R] hat-basis matrix per surface element; XLA's algebraic simplifier
+pattern-matches the multiply+reduce into an MXU dot, which forces every
+hat matrix out to HBM — ~19 GB of traffic per 256-theta batch, the
+measured bottleneck of the GRB likelihood (it dominates BASELINE configs
+3/4). This kernel keeps each hat matrix entirely in VMEM: each program
+owns one (live point, theta ring) pair, loops over the phi samples,
+builds the hat, contracts it against the six log-space dynamical tracks
+on the VPU (f32 accumulate — no bf16 MXU precision loss), applies the
+Doppler/synchrotron flux math, and accumulates the phi sum in registers.
+Only the tiny [T, F] per-ring flux leaves the chip.
+
+The arrival-time map log t_obs(R) (with the trumpet-spreading cummax,
+which Mosaic has no cheap primitive for) is precomputed by XLA in
+B-chunks of 128 so the [B, Th, Ph, R] tensor stays ~150 MB.
+
+Physics identical to ``_eats_stage2_xla`` (reference model:
+afterglowpy's EATS integration, nmma/em/lightcurve_generation.py:221-280
+via Ryan et al. 2020); parity pinned by tests/test_pallas_grb.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import c_cgs
+
+_CHUNK_B = 128
+
+
+def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
+                 out_ref):
+    """One (live point, theta ring): phi-summed flux elements [T, F_pad].
+
+    Blocks: scal (1, 8) SMEM per point; cphi (1, Ph) SMEM shared;
+    lq (T, R) VMEM shared (log_q broadcast over lanes); nu (8, F_pad)
+    VMEM shared (row 0 = observed frequencies, padded with 1.0);
+    logt (1, 1, Ph, R) VMEM; tracks (1, 1, 8, R) VMEM (rows 0-5 = log
+    gamma/nu_m'/nu_c'/P'max/N_e50/theta, rows 6-7 zero); out
+    (1, 1, T, F_pad) VMEM.
+    """
+    n_phi = logt_ref.shape[2]
+    n_t = lq_ref.shape[0]
+    f_pad = out_ref.shape[3]
+
+    z = scal_ref[0, 0]
+    cos_tv = scal_ref[0, 1]
+    sin_tv = scal_ref[0, 2]
+    p = scal_ref[0, 3]
+
+    lq = lq_ref[:, :]                                   # [T, R]
+    lq_col = lq[:, 0:1]                                 # [T, 1]
+    tr8 = tracks_ref[0, 0, :, :]                        # [8, R]
+    nu_row = nu_ref[0:1, :]                             # [1, F_pad]
+    one_p_z = 1.0 + z
+
+    def phi_body(ph, acc):
+        lt = logt_ref[0, 0, pl.ds(ph, 1), :]            # [1, R]
+        cphi_el = cphi_ref[0, ph]
+        x_l = jnp.concatenate([lt[:, :1], lt[:, :-1]], axis=1)
+        x_r = jnp.concatenate([lt[:, 1:], lt[:, -1:]], axis=1)
+        inv_dl = 1.0 / jnp.maximum(lt - x_l, 1e-12)
+        inv_dr = 1.0 / jnp.maximum(x_r - lt, 1e-12)
+        up = (lq - x_l) * inv_dl
+        dn = (x_r - lq) * inv_dr
+        hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)   # [T, R]
+        # normalization (duplicate cummax-plateau nodes each claim
+        # weight 1) folded in as the denominator of the convex combo
+        denom = jnp.maximum(jnp.sum(hat, axis=1, keepdims=True), 1.0)
+        raw = jnp.sum(hat[:, None, :] * tr8[None, :, :], axis=-1)  # [T, 8]
+        vals = jnp.exp(raw / denom)                     # [T, 8]
+
+        in_r = (lq_col >= lt[:, 0:1]) & (lq_col <= lt[:, -1:])    # [T, 1]
+        g = vals[:, 0:1]
+        num = vals[:, 1:2]
+        nuc = vals[:, 2:3]
+        pmax = vals[:, 3:4]
+        ne50 = jnp.where(in_r, vals[:, 4:5], 0.0)
+        th_t = vals[:, 5:6]
+
+        be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (g * g), 0.0))
+        mu_t = cos_tv * jnp.cos(th_t) + sin_tv * jnp.sin(th_t) * cphi_el
+        doppler = 1.0 / (g * (1.0 - be * mu_t) + 1e-12)           # [T, 1]
+
+        nu_prime = nu_row * (one_p_z / doppler)                   # [T, F]
+        # broken power-law synchrotron spectrum (SPN98), slow + fast
+        # cooling — identical branch structure to _synchrotron_shape;
+        # power() spelled exp(e log x) (operands strictly positive)
+        l_nu = jnp.log(nu_prime)
+        l_num = jnp.log(num)
+        l_nuc = jnp.log(nuc)
+        third = jnp.float32(1.0 / 3.0)
+        e_mid = -(p - 1.0) / 2.0
+        e_hi = -p / 2.0
+        slow = jnp.where(
+            nu_prime < num,
+            jnp.exp(third * (l_nu - l_num)),
+            jnp.where(nu_prime < nuc,
+                      jnp.exp(e_mid * (l_nu - l_num)),
+                      jnp.exp(e_mid * (l_nuc - l_num)
+                              + e_hi * (l_nu - l_nuc))))
+        fast = jnp.where(
+            nu_prime < nuc,
+            jnp.exp(third * (l_nu - l_nuc)),
+            jnp.where(nu_prime < num,
+                      jnp.exp(-0.5 * (l_nu - l_nuc)),
+                      jnp.exp(-0.5 * (l_num - l_nuc)
+                              + e_hi * (l_nu - l_num))))
+        shape = jnp.where(num <= nuc, slow, fast)                 # [T, F]
+        flux = (one_p_z * doppler * doppler * doppler
+                * pmax * ne50) * shape
+        return acc + flux
+
+    acc0 = jnp.zeros((n_t, f_pad), jnp.float32)
+    out_ref[0, 0, :, :] = jax.lax.fori_loop(0, n_phi, phi_body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
+                     nu_obs, interpret=False):
+    """Batched [B, Th, F, T] phi-summed EATS flux elements.
+
+    t_delay [B, Th, R], log_tracks [B, 6, Th, R], r_grid [B, R],
+    scal [B, 8] (z, cos theta_v, sin theta_v, p), log_q [T], cphi [Ph],
+    nu_obs [F]. R must be a lane multiple (128); T a sublane multiple
+    (8) — the dispatch in models/grb.py guarantees both.
+    """
+    b, n_theta, n_r = t_delay.shape
+    n_t = log_q.shape[0]
+    n_phi = cphi.shape[0]
+    n_f = nu_obs.shape[0]
+    f_pad = max(8, ((n_f + 7) // 8) * 8)
+
+    chunk = min(_CHUNK_B, b)
+    pad_b = (-b) % chunk
+    bp = b + pad_b
+    nc = bp // chunk
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad_b),) + ((0, 0),) * (x.ndim - 1))
+
+    t_delay_p = pad0(t_delay).reshape(nc, chunk, n_theta, n_r)
+    tracks_p = pad0(log_tracks).reshape(nc, chunk, 6, n_theta, n_r)
+    r_grid_p = pad0(r_grid).reshape(nc, chunk, n_r)
+    scal_p = pad0(scal).reshape(nc, chunk, 8)
+
+    lq2d = jnp.broadcast_to(log_q[:, None].astype(jnp.float32),
+                            (n_t, n_r))
+    cphi2d = cphi[None, :].astype(jnp.float32)                  # [1, Ph]
+    nu_pad = jnp.ones((8, f_pad), jnp.float32)
+    nu_pad = nu_pad.at[0, :n_f].set(nu_obs.astype(jnp.float32))
+
+    def chunk_fn(args):
+        t_del, trk, rg, sc = args
+        # arrival-time map (trumpet geometry + cummax) built by XLA:
+        # [C, Th, Ph, R] is ~150 MB at chunk 128 — bounded and fused
+        th_r = jnp.exp(trk[:, 5])                       # [C, Th, R]
+        mu_r = (sc[:, 1, None, None, None] * jnp.cos(th_r)[:, :, None, :]
+                + sc[:, 2, None, None, None] * jnp.sin(th_r)[:, :, None, :]
+                * cphi2d[0][None, None, :, None])       # [C, Th, Ph, R]
+        t_obs = ((1.0 + sc[:, 0, None, None, None])
+                 * (t_del[:, :, None, :]
+                    + (1.0 - mu_r) * rg[:, None, None, :] / c_cgs))
+        log_t3 = jnp.minimum(
+            jax.lax.cummax(jnp.log(jnp.maximum(t_obs, 1e-10)), axis=3),
+            60.0)
+        trk8 = jnp.concatenate(
+            [jnp.transpose(trk, (0, 2, 1, 3)),
+             jnp.zeros((chunk, n_theta, 2, n_r), trk.dtype)],
+            axis=2)                                     # [C, Th, 8, R]
+        out = pl.pallas_call(
+            _eats_kernel,
+            grid=(chunk, n_theta),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_phi), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_t, n_r), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, f_pad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_phi, n_r), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, n_r), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n_t, f_pad),
+                                   lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((chunk, n_theta, n_t, f_pad),
+                                           jnp.float32),
+        )(sc, cphi2d, lq2d, nu_pad, log_t3, trk8)
+        return out
+
+    outs = jax.lax.map(chunk_fn, (t_delay_p, tracks_p, r_grid_p, scal_p))
+    out = outs.reshape(bp, n_theta, n_t, f_pad)[:b, :, :, :n_f]
+    return jnp.transpose(out, (0, 1, 3, 2))             # [B, Th, F, T]
