@@ -138,7 +138,13 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
     n_f = nu_obs.shape[0]
     f_pad = max(8, ((n_f + 7) // 8) * 8)
 
-    chunk = min(_CHUNK_B, b)
+    # fixed chunk regardless of B: every batch size then lowers to the
+    # same (128, Th) kernel shape, so a process pays exactly one Mosaic
+    # compile (cold Mosaic compiles on the remote toolchain have been
+    # observed at minutes; see BENCHMARKS.md). The interpreter (CPU
+    # parity tests) gets a small chunk — padding waste there is pure
+    # test wall-clock.
+    chunk = _CHUNK_B if not interpret else min(8, _CHUNK_B)
     pad_b = (-b) % chunk
     bp = b + pad_b
     nc = bp // chunk

@@ -105,7 +105,36 @@ def config4_grb211211a():
             "logz": round(res.logz, 2), "ncall": res.ncall}
 
 
+def _gate_pallas_on_mosaic_health():
+    """Same pattern as bench.py: probe a tiny Mosaic compile in a
+    bounded subprocess; on failure fall back to the XLA EATS form so a
+    cold-Mosaic service phase cannot stall the PE wall-clock runs."""
+    import subprocess
+    if os.environ.get("NMMA_TPU_DISABLE_PALLAS"):
+        return
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from nmma_tpu.ops.pallas_me2017 import me2017_dynamics_pallas\n"
+        "t = jnp.asarray(np.geomspace(0.01, 14.0, 32), jnp.float32)\n"
+        "b = jnp.full((8,), -1.5, jnp.float32)\n"
+        "out = me2017_dynamics_pallas(b, b + 0.5, b + 4.5, b + 4.66, t)\n"
+        "[np.asarray(o) for o in out]\nprint('ok')\n" % REPO
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=240.0)
+        ok = r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        os.environ["NMMA_TPU_DISABLE_PALLAS"] = "1"
+        print("# Mosaic probe failed; running with the XLA EATS form",
+              file=sys.stderr)
+
+
 if __name__ == "__main__":
+    _gate_pallas_on_mosaic_health()
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     out = []
     if which in ("3", "both"):
