@@ -563,6 +563,43 @@ def _synchrotron_shape(nu, nu_m, nu_c, p):
     return jnp.where(nu_m <= nu_c, slow, fast)
 
 
+_E0_RAMP_KEYS = ("energy_exponential", "log10_Eend", "t_start",
+                 "injection_duration")
+
+
+def _e0_ramp_flux(t_grid_days, nu_obs, p, **kw):
+    """Quasi-static energy-injection variant: E0 ramps with observer time.
+
+    Reference semantics (``flux_density_on_E0_array``,
+    nmma/em/lightcurve_generation.py:230-256, selected by
+    ``GRBLightCurveModel.em_parameter_setup`` when all four injection
+    parameters are sampled, model.py:960-968): each observer-time node
+    is evaluated with the blast-wave energy
+    log10 E0(t) = log10_Eend + energy_exponential * log10(t / t_end),
+    clamped to its t <= t_start value before injection starts and to
+    log10_Eend after t_end = injection_duration (both in seconds, like
+    the reference's ``default_time``). Per node the kernel runs with a
+    single observer time, so the total cost matches one standard call.
+    """
+    a = jnp.asarray(p["energy_exponential"])
+    le = jnp.asarray(p["log10_Eend"])
+    ts = jnp.asarray(p["t_start"])
+    te = jnp.asarray(p["injection_duration"])
+    t_sec = t_grid_days * seconds_a_day
+    l_start = le + a * jnp.log10(ts / te)
+    ramp = le + a * jnp.log10(t_sec / te)
+    log10_e0 = jnp.where(t_sec <= ts, l_start,
+                         jnp.where(t_sec >= te, le, ramp))       # [Tg]
+
+    def one(ti, e0i):
+        q = dict(p)
+        q["log10_E0"] = e0i
+        return grb_afterglow_flux_density(ti[None], nu_obs, q, **kw)[:, 0]
+
+    return jax.vmap(one, in_axes=(0, 0), out_axes=1)(
+        t_grid_days, log10_e0)                                   # [F, Tg]
+
+
 def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN,
                   grb_resolution=12.0, n_theta=N_THETA, n_phi=N_PHI,
                   n_r=N_R, spread=None, trumpet=None):
@@ -612,11 +649,13 @@ def trpi2018_mags(params, t_days, nu_host, filters=None, jet_type=JET_GAUSSIAN,
     frac = jnp.arange(n_node) / (n_node - 1)
     t_grid = t_start * jnp.power(t_end / t_start, frac)
 
-    mjys = grb_afterglow_flux_density(t_grid, nu_obs, p,
-                                      jet_type=jet_type, n_theta=n_theta,
-                                      n_phi=n_phi, n_r=n_r,
-                                      spread=spread,
-                                      trumpet=trumpet)             # [F, Tg]
+    kern_kw = dict(jet_type=jet_type, n_theta=n_theta, n_phi=n_phi,
+                   n_r=n_r, spread=spread, trumpet=trumpet)
+    if all(k in p for k in _E0_RAMP_KEYS):
+        mjys = _e0_ramp_flux(t_grid, nu_obs, p, **kern_kw)         # [F, Tg]
+    else:
+        mjys = grb_afterglow_flux_density(t_grid, nu_obs, p,
+                                          **kern_kw)               # [F, Tg]
     mags_grid = flux_to_ab_mag(mjys, unit="mJy")
     log_tq = jnp.log(t_days)
     log_tg = jnp.log(t_grid)

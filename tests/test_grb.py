@@ -249,3 +249,40 @@ def test_spreading_steepens_post_peak_decay():
     # default == spread on
     _, f_default = _radio_curve()
     np.testing.assert_allclose(f_default, f_on, rtol=1e-6)
+
+
+def test_e0_ramp_energy_injection():
+    """Quasi-static E0-ramp injection variant (reference
+    flux_density_on_E0_array semantics): before t_start the curve
+    matches a constant-E0(Estart) run, after injection_duration a
+    constant-E0(Eend) run, and the bridge is monotone in between."""
+    from nmma_tpu.models.grb import trpi2018_mags
+
+    base = dict(thetaCore=0.08, thetaWing=0.32, inclination_EM=0.0,
+                log10_n0=-2.0, p=2.3, log10_epsilon_e=-1.0,
+                log10_epsilon_B=-3.0, xi_N=1.0, d_L=3.086e19)
+    a, le = 1.2, 52.5
+    t_start, t_end = 2.0e4, 2.0e6            # seconds
+    inj = dict(base, energy_exponential=a, log10_Eend=le,
+               t_start=t_start, injection_duration=t_end)
+    t = np.geomspace(0.05, 200.0, 40)        # days
+    nu = np.array([5e14])
+    m_inj = np.asarray(trpi2018_mags(inj, t, nu))[0]
+
+    l_start = le + a * np.log10(t_start / t_end)
+    m_lo = np.asarray(trpi2018_mags(dict(base, log10_E0=l_start), t, nu))[0]
+    m_hi = np.asarray(trpi2018_mags(dict(base, log10_E0=le), t, nu))[0]
+
+    t_sec = t * 86400.0
+    pre = t_sec < 0.8 * t_start
+    post = t_sec > 1.3 * t_end
+    assert pre.any() and post.any()
+    # interpolation from the internal grid smears the exact switch
+    # points; compare away from them
+    np.testing.assert_allclose(m_inj[pre], m_lo[pre], atol=0.05)
+    np.testing.assert_allclose(m_inj[post], m_hi[post], atol=0.05)
+    # more energy can only brighten: the ramp curve sits between the
+    # two constant-E0 envelopes
+    mid = ~(pre | post)
+    assert np.all(m_inj[mid] <= m_lo[mid] + 0.05)
+    assert np.all(m_inj[mid] >= m_hi[mid] - 0.05)
