@@ -56,11 +56,18 @@ N_THETA = 48
 N_PHI = 24
 N_R = 256
 
-# hat-contraction lowering (see element_flux): "fused" keeps the [T, R]
-# hat basis in registers via a VPU multiply+reduce; "einsum" lowers to an
-# MXU dot that round-trips every hat matrix through HBM. einsum stays the
-# default until the fused path's TPU timing is in (parity verified).
-_CONTRACT_MODE = os.environ.get("NMMA_TPU_GRB_CONTRACT", "einsum")
+def _contract_mode():
+    """Hat-contraction lowering for the XLA path (read at trace time):
+    "fused" keeps the [T, R] hat basis in registers via a VPU
+    multiply+reduce; "einsum" lowers to an MXU dot that round-trips
+    every hat matrix through HBM. einsum stays the default until the
+    fused path's TPU timing is in (parity verified). The batched TPU
+    path bypasses both via the Pallas kernel (ops/pallas_grb.py)."""
+    mode = os.environ.get("NMMA_TPU_GRB_CONTRACT", "einsum")
+    if mode not in ("einsum", "fused"):
+        raise ValueError(
+            f"NMMA_TPU_GRB_CONTRACT={mode!r}: use 'einsum' or 'fused'")
+    return mode
 
 JET_TOPHAT = -1
 JET_GAUSSIAN = 0
@@ -229,9 +236,14 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     # -3.0; trumpet=False recovers the dilution treatment.
     if trumpet is None:
         t_par = params.get("trumpet", True)
-        # a sampled/traced 'trumpet' column cannot steer Python control
-        # flow under jit; treat any array value as "use the default"
-        trumpet = bool(t_par) if isinstance(t_par, (bool, int)) else True
+        if isinstance(t_par, jax.core.Tracer):
+            # a sampled/traced 'trumpet' column cannot steer Python
+            # control flow under jit; use the default
+            trumpet = True
+        else:
+            # honor any concrete value (python bool, 0/1, numpy/jnp
+            # scalar from a DeltaFunction prior) like 'spread' does
+            trumpet = bool(t_par)
     if trumpet and not spread_on:
         trumpet = False
     if trumpet:
@@ -456,8 +468,8 @@ def _eats_stage2_xla(t_delay, log_tracks, r_grid, scal, log_q, cphi,
         up = (log_q[:, None] - x_l[None, :]) / dl[None, :]
         dn = (x_r[None, :] - log_q[:, None]) / drr[None, :]
         hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)               # [T, R]
-        tr = log_tracks[:, th_idx]                                  # [5, R]
-        if _CONTRACT_MODE == "einsum":
+        tr = log_tracks[:, th_idx]                                  # [6, R]
+        if _contract_mode() == "einsum":
             # duplicate grid nodes (cummax plateaus) can each claim weight
             # 1; normalising restores a convex combination
             hat_n = hat / jnp.maximum(hat.sum(axis=1, keepdims=True), 1.0)
@@ -524,16 +536,24 @@ def _eats_stage2_vmap(axis_size, in_batched, t_delay, log_tracks, r_grid,
     256-theta batch); elsewhere fall back to vmapped XLA."""
     batched = in_batched[:4]
     aux = in_batched[4:]
-    use_pallas = (all(batched) and not any(aux)
-                  and t_delay.ndim == 3
+    ranks_ok = (t_delay.ndim == 3 if in_batched[0] else t_delay.ndim == 2)
+    use_pallas = (any(batched) and not any(aux)
+                  and ranks_ok
                   and t_delay.shape[-1] % 128 == 0
                   and log_q.shape[0] % 8 == 0
                   and jax.default_backend() == "tpu"
                   and not os.environ.get("NMMA_TPU_DISABLE_PALLAS"))
     if use_pallas:
         from ..ops.pallas_grb import eats_flux_pallas
-        out = eats_flux_pallas(t_delay, log_tracks, r_grid, scal,
-                               log_q, cphi, nu_obs)
+        # fixed parameters (DeltaFunction priors for e.g. inclination,
+        # p, z) arrive unbatched; broadcast them so the kernel still
+        # fires — requiring all-batched silently dropped such runs back
+        # to the HBM-bound XLA path
+        ops = [t_delay, log_tracks, r_grid, scal]
+        ops = [op if bb else jnp.broadcast_to(op[None],
+                                              (axis_size,) + op.shape)
+               for op, bb in zip(ops, batched)]
+        out = eats_flux_pallas(*ops, log_q, cphi, nu_obs)
         return out, True
     mapped = jax.vmap(
         _eats_stage2_xla,

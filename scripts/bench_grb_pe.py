@@ -112,18 +112,30 @@ def _gate_pallas_on_mosaic_health():
     import subprocess
     if os.environ.get("NMMA_TPU_DISABLE_PALLAS"):
         return
+    # probe the kernel these benches actually compile (the GRB EATS
+    # kernel, much larger than the me2017 probe bench.py uses — a
+    # degraded Mosaic phase can pass a tiny probe and still stall here)
     code = (
         "import numpy as np, jax, jax.numpy as jnp\n"
         "import sys; sys.path.insert(0, %r)\n"
-        "from nmma_tpu.ops.pallas_me2017 import me2017_dynamics_pallas\n"
-        "t = jnp.asarray(np.geomspace(0.01, 14.0, 32), jnp.float32)\n"
-        "b = jnp.full((8,), -1.5, jnp.float32)\n"
-        "out = me2017_dynamics_pallas(b, b + 0.5, b + 4.5, b + 4.66, t)\n"
-        "[np.asarray(o) for o in out]\nprint('ok')\n" % REPO
+        "from nmma_tpu.models import grb\n"
+        "t = np.geomspace(0.1, 100.0, 64)\n"
+        "p = dict(log10_E0=jnp.full((2,), 52.0),\n"
+        "         thetaCore=jnp.full((2,), 0.1),\n"
+        "         thetaWing=jnp.full((2,), 0.4),\n"
+        "         inclination_EM=jnp.full((2,), 0.2),\n"
+        "         log10_n0=jnp.full((2,), -2.0),\n"
+        "         p=jnp.full((2,), 2.3),\n"
+        "         log10_epsilon_e=jnp.full((2,), -1.0),\n"
+        "         log10_epsilon_B=jnp.full((2,), -3.0),\n"
+        "         luminosity_distance=jnp.full((2,), 100.0))\n"
+        "out = jax.vmap(lambda q: grb.grb_afterglow_flux_density(\n"
+        "    t, np.array([5e14, 3e9]), q))(p)\n"
+        "np.asarray(out)\nprint('ok')\n" % REPO
     )
     try:
         r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=240.0)
+                           capture_output=True, text=True, timeout=300.0)
         ok = r.returncode == 0 and "ok" in r.stdout
     except subprocess.TimeoutExpired:
         ok = False

@@ -70,3 +70,37 @@ def test_pallas_chunk_padding():
         t_delay[:1], tracks[:1], r_grid[:1], scal[:1], log_q, cphi,
         nu_obs, interpret=True))
     np.testing.assert_allclose(full[:1], one, rtol=1e-6)
+
+
+def test_dispatch_broadcasts_unbatched_operands(monkeypatch):
+    """Fixed parameters (DeltaFunction priors for inclination/p/z) make
+    scal unbatched under vmap; the dispatch must broadcast it and still
+    take the Pallas path rather than silently falling back to XLA."""
+    import functools
+    import nmma_tpu.ops.pallas_grb as PG
+
+    t_delay, tracks, r_grid, scal, log_q, cphi, nu_obs = _stage2_inputs(B=2)
+    calls = []
+    orig = PG.eats_flux_pallas
+
+    def spy(*args, **kw):
+        calls.append(args)
+        return orig(*args, interpret=True, **kw)
+
+    monkeypatch.setattr(PG, "eats_flux_pallas", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("NMMA_TPU_DISABLE_PALLAS", raising=False)
+
+    scal0 = scal[0]   # unbatched: same z/theta_v/p for the whole batch
+    out = jax.vmap(
+        functools.partial(G._eats_stage2, log_q=log_q, cphi=cphi,
+                          nu_obs=nu_obs),
+        in_axes=(0, 0, 0, None))(t_delay, tracks, r_grid, scal0)
+    assert len(calls) == 1, "Pallas path did not fire"
+    ref = jax.vmap(G._eats_stage2_xla,
+                   in_axes=(0, 0, 0, None, None, None, None))(
+        t_delay, tracks, r_grid, scal0, log_q, cphi, nu_obs)
+    scale = float(np.abs(np.asarray(ref)).max())
+    num = np.abs(np.asarray(out) - np.asarray(ref))
+    den = np.maximum(np.abs(np.asarray(ref)), 1e-6 * scale)
+    assert (num / den).max() < 5e-3
