@@ -286,3 +286,44 @@ def test_e0_ramp_energy_injection():
     mid = ~(pre | post)
     assert np.all(m_inj[mid] <= m_lo[mid] + 0.05)
     assert np.all(m_inj[mid] >= m_hi[mid] - 0.05)
+
+
+def test_grb_pe_smoke_recovery():
+    """End-to-end sampler -> GRB kernel path on CPU at tiny resolution:
+    a 2-parameter TrPi2018 injection is recovered through the full
+    EMAnalysis pipeline (the TPU bench covers production scale;
+    scripts/bench_grb_pe.py)."""
+    import tempfile
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.priors import parse_prior_dict
+
+    truth = dict(log10_E0=52.0, thetaCore=0.1, thetaWing=0.4,
+                 inclination_EM=0.05, log10_n0=-1.5, p=2.4,
+                 log10_epsilon_e=-1.2, log10_epsilon_B=-3.0, xi_N=1.0,
+                 luminosity_distance=350.0, timeshift=0.0)
+    filters = ["ztfr", "X-ray-1keV"]
+    data = create_light_curve_data(truth, "TrPi2018", filters, tmin=0.1,
+                                   tmax=30.0, n_tsteps=12, seed=5,
+                                   injection_error_budget=0.3)
+    priors = parse_prior_dict(
+        "log10_E0 = Uniform(minimum=50., maximum=54.)\n"
+        "thetaCore = 0.1\nthetaWing = 0.4\ninclination_EM = 0.05\n"
+        "log10_n0 = Uniform(minimum=-3., maximum=0.)\n"
+        "p = 2.4\nlog10_epsilon_e = -1.2\nlog10_epsilon_B = -3.0\n"
+        "xi_N = 1.0\nluminosity_distance = 350.0\ntimeshift = 0.0\n")
+    with tempfile.TemporaryDirectory() as outdir:
+        cfg = EMAnalysisConfig(
+            model="TrPi2018", trigger_time=0.0, tmin=0.05, tmax=40.0,
+            n_tsteps=24, error_budget=0.5, outdir=outdir, label="smoke",
+            model_kwargs={"n_theta": 8, "n_phi": 4, "n_r": 128},
+            sampler=NestedSamplerConfig(nlive=64, n_delete=16, walks=8,
+                                        dlogz=1.0, chunk_size=4, seed=1))
+        ana = EMAnalysis(cfg, data=data, priors=priors)
+        ana.run(verbose=False)
+        res = ana.result
+        post = ana.posterior_samples(res)
+    assert np.isfinite(res.logz)
+    assert abs(np.median(post["log10_E0"]) - truth["log10_E0"]) < 0.4
+    assert abs(np.median(post["log10_n0"]) - truth["log10_n0"]) < 0.9
