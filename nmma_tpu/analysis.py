@@ -155,6 +155,38 @@ class EMAnalysis:
         self.save_result()
         return result
 
+    def run_mcmc(self, mcmc_config=None, verbose=True):
+        """Posterior via the affine-invariant ensemble sampler — an
+        independent cross-check of the nested sampler (no evidence; the
+        reference's multi-sampler surface, nmma/em/analysis.py
+        ``--sampler``). Returns the posterior dict and stores the
+        EnsembleMCMCResult on ``self.mcmc_result``."""
+        from .inference import EnsembleMCMC, EnsembleMCMCConfig
+        cfg = self.config
+        os.makedirs(cfg.outdir, exist_ok=True)
+        mcfg = mcmc_config or EnsembleMCMCConfig(seed=cfg.sampler.seed)
+        sampler = EnsembleMCMC(self.batched_logl, self.priors.ndim, mcfg)
+        res = sampler.run(verbose=verbose)
+        self.mcmc_result = res
+        max_rhat = float(np.nanmax(res.rhat))
+        if max_rhat > 1.1:
+            print(f"WARNING: ensemble-mcmc max R-hat {max_rhat:.3f} > 1.1 "
+                  f"— chains not converged; increase sweeps (e.g. "
+                  f"--mcmc-sweeps {2 * mcfg.sweeps}) or use the nested "
+                  f"sampler", flush=True)
+        params = jax.jit(self.priors.transform)(jnp.asarray(res.samples_u))
+        post = {k: np.asarray(v) for k, v in params.items()}
+        post["log_likelihood"] = res.logl
+        np.savez(os.path.join(cfg.outdir, f"{cfg.label}_mcmc_result.npz"),
+                 acceptance=res.acceptance, rhat=res.rhat,
+                 ncall=res.n_call,
+                 **{f"posterior_{k}": v for k, v in post.items()})
+        from .io.results import save_posterior_csv
+        save_posterior_csv(
+            os.path.join(cfg.outdir,
+                         f"{cfg.label}_mcmc_posterior_samples.csv"), post)
+        return post
+
     # -- posterior ----------------------------------------------------------
     def posterior_samples(self, result=None, rng=None):
         result = result or self.result

@@ -196,6 +196,20 @@ def _single_run(args):
               f"samples written to {cfg.outdir}/{cfg.label}_result.npz")
         analysis.neuralnet_posterior = post
         return analysis
+    if args.sampler == "mcmc":
+        # affine-invariant ensemble MCMC: independent posterior
+        # cross-check of the nested sampler (no evidence)
+        from ..inference import EnsembleMCMCConfig
+        mcfg = EnsembleMCMCConfig(
+            walkers=getattr(args, "mcmc_walkers", 256),
+            sweeps=getattr(args, "mcmc_sweeps", 1500),
+            seed=args.seed)
+        post = analysis.run_mcmc(mcmc_config=mcfg, verbose=args.verbose)
+        print(f"mcmc posterior: {len(next(iter(post.values())))} samples "
+              f"written to {cfg.outdir}/{cfg.label}_mcmc_result.npz "
+              f"(max R-hat "
+              f"{float(max(analysis.mcmc_result.rhat)):.3f})")
+        return analysis
     if args.skip_sampling:
         # with an existing checkpoint, regenerate result artifacts/plots
         # from it without further sampling (reference --skip-sampling

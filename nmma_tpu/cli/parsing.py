@@ -211,7 +211,12 @@ def base_analysis_parser(description=""):
     p.add_argument("--injection-num", type=int, default=0)
     p.add_argument("--generation-seed", type=int, default=42)
     # sampler flags (reference defaults: nlive=2048, dlogz=0.1)
-    p.add_argument("--sampler", type=str, default="nmma-ns")
+    p.add_argument("--sampler", type=str, default="nmma-ns",
+                   help="nmma-ns (vectorized nested sampling), mcmc "
+                        "(ensemble stretch-move cross-check, no "
+                        "evidence), or neuralnet (likelihood-free flow)")
+    p.add_argument("--mcmc-walkers", type=int, default=256)
+    p.add_argument("--mcmc-sweeps", type=int, default=1500)
     p.add_argument("--nlive", type=int, default=2048)
     p.add_argument("--dlogz", type=float, default=0.1)
     p.add_argument("--n-delete", type=int, default=None,

@@ -1,0 +1,139 @@
+"""Vectorized affine-invariant ensemble MCMC (Goodman & Weare 2010).
+
+An independent posterior sampler sharing the nested sampler's contract
+(``logl_fn: u_batch [B, ndim] -> logl [B]`` in the unit cube) for
+cross-sampler validation and for users of the reference's multi-sampler
+surface (``--sampler`` in nmma/em/analysis.py — the reference delegates
+to bilby's emcee/dynesty/pymultinest backends; here the stretch move
+itself is the TPU kernel).
+
+Design: W walkers split into red/black halves; each sweep updates one
+half against the other with the stretch move (z ~ g(z) ∝ 1/sqrt(z) on
+[1/a, a]; accept ln-prob (d-1) ln z + dlogl, uniform prior = the unit
+cube bounds mask). Whole sweeps run inside one ``lax.scan`` — two
+batched likelihood calls of W/2 per sweep, no Python loop — so walkers
+ride the same vmapped likelihood the nested sampler uses. No evidence
+estimate (use the nested sampler for logZ).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class EnsembleMCMCConfig:
+    walkers: int = 256           # total walkers (even; >= 2*ndim + 2)
+    sweeps: int = 1500           # full red+black update sweeps
+    burn_frac: float = 0.3       # fraction of sweeps discarded
+    thin: int = 2                # keep every thin-th sweep
+    stretch_a: float = 2.0       # stretch-move scale parameter
+    seed: int = 42
+
+
+class EnsembleMCMCResult(NamedTuple):
+    samples_u: np.ndarray        # [n_kept * walkers, ndim] unit cube
+    chain_u: np.ndarray          # [n_kept, walkers, ndim]
+    logl: np.ndarray             # [n_kept * walkers]
+    acceptance: float
+    rhat: np.ndarray             # [ndim] split-chain Gelman-Rubin
+    n_call: int
+
+
+def _rhat(chain: np.ndarray) -> np.ndarray:
+    """Split-chain Gelman-Rubin over walkers, [n, W, d] -> [d].
+
+    Walkers are correlated through the ensemble move, so this is a
+    stationarity diagnostic rather than an independence proof; values
+    near 1 still catch unconverged burn-in reliably.
+    """
+    n = chain.shape[0] // 2
+    if n < 2:
+        return np.full(chain.shape[-1], np.nan)
+    halves = np.concatenate([chain[:n], chain[n:2 * n]], axis=1)
+    m = halves.shape[1]
+    means = halves.mean(axis=0)                       # [m, d]
+    variances = halves.var(axis=0, ddof=1)            # [m, d]
+    w = variances.mean(axis=0)
+    b = n * means.var(axis=0, ddof=1)
+    var_post = (n - 1) / n * w + b / n
+    return np.sqrt(var_post / np.maximum(w, 1e-300))
+
+
+class EnsembleMCMC:
+    """Batched stretch-move sampler bound to a unit-cube likelihood."""
+
+    def __init__(self, logl_fn: Callable, ndim: int,
+                 config: EnsembleMCMCConfig = EnsembleMCMCConfig()):
+        if config.walkers % 2:
+            raise ValueError("walkers must be even (red/black halves)")
+        if config.walkers < 2 * ndim + 2:
+            raise ValueError(
+                f"walkers={config.walkers} too few for ndim={ndim}; "
+                f"need >= {2 * ndim + 2}")
+        self.logl_fn = logl_fn
+        self.ndim = ndim
+        self.config = config
+
+    def _half_update(self, key, x_move, l_move, x_ref):
+        """Stretch-move one half against the other; returns updates."""
+        a = self.config.stretch_a
+        half, d = x_move.shape
+        k_z, k_j, k_acc = jax.random.split(key, 3)
+        u = jax.random.uniform(k_z, (half,))
+        z = ((a - 1.0) * u + 1.0) ** 2 / a                     # g(z)
+        j = jax.random.randint(k_j, (half,), 0, half)
+        y = x_ref[j] + z[:, None] * (x_move - x_ref[j])        # [half, d]
+        in_cube = jnp.all((y > 0.0) & (y < 1.0), axis=1)
+        y_safe = jnp.clip(y, 1e-6, 1.0 - 1e-6)
+        l_y = self.logl_fn(y_safe)
+        ln_acc = (d - 1.0) * jnp.log(z) + l_y - l_move
+        accept = in_cube & (jnp.log(
+            jax.random.uniform(k_acc, (half,))) < ln_acc)
+        x_new = jnp.where(accept[:, None], y_safe, x_move)
+        l_new = jnp.where(accept, l_y, l_move)
+        return x_new, l_new, jnp.sum(accept)
+
+    def run(self, key=None, verbose: bool = False) -> EnsembleMCMCResult:
+        cfg = self.config
+        w2 = cfg.walkers // 2
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        k_init, k_run = jax.random.split(key)
+        x0 = jax.random.uniform(k_init, (cfg.walkers, self.ndim),
+                                minval=1e-4, maxval=1.0 - 1e-4)
+        l0 = self.logl_fn(x0)
+
+        def sweep(carry, k):
+            x, logl = carry
+            k1, k2 = jax.random.split(k)
+            xa, la, na = self._half_update(k1, x[:w2], logl[:w2], x[w2:])
+            xb, lb, nb = self._half_update(k2, x[w2:], logl[w2:], xa)
+            x = jnp.concatenate([xa, xb])
+            logl = jnp.concatenate([la, lb])
+            return (x, logl), (x, logl, na + nb)
+
+        keys = jax.random.split(k_run, cfg.sweeps)
+        (_, _), (xs, ls, naccs) = jax.lax.scan(sweep, (x0, l0), keys)
+
+        burn = int(cfg.sweeps * cfg.burn_frac)
+        xs = np.asarray(xs[burn::cfg.thin])                 # [n, W, d]
+        ls = np.asarray(ls[burn::cfg.thin])
+        acc = float(np.asarray(naccs).sum()) / (cfg.sweeps * cfg.walkers)
+        rhat = _rhat(xs)
+        if verbose:
+            print(f"ensemble-mcmc: {xs.shape[0]} kept sweeps x "
+                  f"{cfg.walkers} walkers, acceptance {acc:.2f}, "
+                  f"max R-hat {np.nanmax(rhat):.3f}", flush=True)
+        return EnsembleMCMCResult(
+            samples_u=xs.reshape(-1, self.ndim),
+            chain_u=xs,
+            logl=ls.reshape(-1),
+            acceptance=acc,
+            rhat=rhat,
+            n_call=int(cfg.sweeps) * cfg.walkers + cfg.walkers,
+        )

@@ -1,0 +1,60 @@
+"""Ensemble-MCMC sampler: analytic correctness + NS cross-validation.
+
+The stretch-move sampler shares the nested sampler's unit-cube logl
+contract, so the same likelihood drives both; agreement of the two
+independent samplers on moments is the cross-sampler posterior check
+the reference gets from bilby's multi-backend surface.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nmma_tpu.inference import (EnsembleMCMC, EnsembleMCMCConfig,
+                                NestedSampler, NestedSamplerConfig)
+
+# correlated 2-D Gaussian inside the unit cube
+_MU = np.array([0.58, 0.44])
+_COV = np.array([[0.004, 0.0025], [0.0025, 0.0036]])
+_PREC = np.linalg.inv(_COV)
+
+
+def _logl(u):
+    d = u - _MU
+    return -0.5 * jnp.einsum("...i,ij,...j->...", d, _PREC, d)
+
+
+def test_gaussian_moments_and_rhat():
+    mcmc = EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(
+        walkers=128, sweeps=1200, burn_frac=0.4, thin=2, seed=0))
+    res = mcmc.run()
+    assert 0.1 < res.acceptance < 0.9, res.acceptance
+    assert np.nanmax(res.rhat) < 1.05, res.rhat
+    mean = res.samples_u.mean(axis=0)
+    cov = np.cov(res.samples_u.T)
+    np.testing.assert_allclose(mean, _MU, atol=0.01)
+    np.testing.assert_allclose(cov, _COV, rtol=0.25, atol=4e-4)
+
+
+def test_cross_sampler_agreement():
+    """NS and MCMC posteriors agree in mean/std on the same likelihood."""
+    mcmc = EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(
+        walkers=128, sweeps=1000, burn_frac=0.4, seed=1))
+    m = mcmc.run()
+    ns = NestedSampler(jax.vmap(_logl), 2, NestedSamplerConfig(
+        nlive=256, n_delete=32, walks=12, dlogz=0.1, chunk_size=10,
+        seed=1))
+    r = ns.run(verbose=False)
+    idx = r.posterior_indices()
+    ns_samp = r.samples_u[idx]
+    for k in range(2):
+        assert abs(ns_samp[:, k].mean() - m.samples_u[:, k].mean()) < 0.012
+        assert abs(ns_samp[:, k].std() - m.samples_u[:, k].std()) < 0.012
+
+
+def test_validation_errors():
+    import pytest
+    with pytest.raises(ValueError):
+        EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(walkers=31))
+    with pytest.raises(ValueError):
+        EnsembleMCMC(_logl, 20, EnsembleMCMCConfig(walkers=32))
