@@ -203,6 +203,7 @@ def _single_run(args):
         mcfg = EnsembleMCMCConfig(
             walkers=getattr(args, "mcmc_walkers", 256),
             sweeps=getattr(args, "mcmc_sweeps", 1500),
+            temps=getattr(args, "mcmc_temps", 1),
             seed=args.seed)
         post = analysis.run_mcmc(mcmc_config=mcfg, verbose=args.verbose)
         print(f"mcmc posterior: {len(next(iter(post.values())))} samples "

@@ -217,6 +217,9 @@ def base_analysis_parser(description=""):
                         "evidence), or neuralnet (likelihood-free flow)")
     p.add_argument("--mcmc-walkers", type=int, default=256)
     p.add_argument("--mcmc-sweeps", type=int, default=1500)
+    p.add_argument("--mcmc-temps", type=int, default=1,
+                   help="parallel-tempering ladder size for "
+                        "--sampler mcmc (1 = plain ensemble)")
     p.add_argument("--nlive", type=int, default=2048)
     p.add_argument("--dlogz", type=float, default=0.1)
     p.add_argument("--n-delete", type=int, default=None,

@@ -33,6 +33,8 @@ class EnsembleMCMCConfig:
     burn_frac: float = 0.3       # fraction of sweeps discarded
     thin: int = 2                # keep every thin-th sweep
     stretch_a: float = 2.0       # stretch-move scale parameter
+    temps: int = 1               # parallel-tempering ladder size
+    t_max: float = 64.0          # hottest temperature (geometric ladder)
     seed: int = 42
 
 
@@ -80,44 +82,90 @@ class EnsembleMCMC:
         self.ndim = ndim
         self.config = config
 
-    def _half_update(self, key, x_move, l_move, x_ref):
-        """Stretch-move one half against the other; returns updates."""
+    @property
+    def _betas(self):
+        """Geometric inverse-temperature ladder, beta_0 = 1 (cold)."""
+        cfg = self.config
+        if cfg.temps == 1:
+            return jnp.ones((1,))
+        frac = jnp.arange(cfg.temps) / (cfg.temps - 1)
+        return jnp.power(cfg.t_max, -frac)
+
+    def _half_update(self, key, x_move, l_move, x_ref, betas):
+        """Stretch-move one half against the other, all temperatures.
+
+        x_move/x_ref [K, half, d]; the move proposals stay within each
+        temperature (the ensemble-geometry of a hot chain would break a
+        cold chain's affine invariance) and the acceptance uses the
+        tempered posterior beta * logl.
+        """
         a = self.config.stretch_a
-        half, d = x_move.shape
+        k_temps, half, d = x_move.shape
         k_z, k_j, k_acc = jax.random.split(key, 3)
-        u = jax.random.uniform(k_z, (half,))
+        u = jax.random.uniform(k_z, (k_temps, half))
         z = ((a - 1.0) * u + 1.0) ** 2 / a                     # g(z)
-        j = jax.random.randint(k_j, (half,), 0, half)
-        y = x_ref[j] + z[:, None] * (x_move - x_ref[j])        # [half, d]
-        in_cube = jnp.all((y > 0.0) & (y < 1.0), axis=1)
+        j = jax.random.randint(k_j, (k_temps, half), 0, half)
+        ref = jnp.take_along_axis(x_ref, j[:, :, None], axis=1)
+        y = ref + z[:, :, None] * (x_move - ref)               # [K, half, d]
+        in_cube = jnp.all((y > 0.0) & (y < 1.0), axis=-1)
         y_safe = jnp.clip(y, 1e-6, 1.0 - 1e-6)
-        l_y = self.logl_fn(y_safe)
-        ln_acc = (d - 1.0) * jnp.log(z) + l_y - l_move
+        l_y = self.logl_fn(y_safe.reshape(-1, d)).reshape(k_temps, half)
+        ln_acc = (d - 1.0) * jnp.log(z) + betas[:, None] * (l_y - l_move)
         accept = in_cube & (jnp.log(
-            jax.random.uniform(k_acc, (half,))) < ln_acc)
-        x_new = jnp.where(accept[:, None], y_safe, x_move)
+            jax.random.uniform(k_acc, (k_temps, half))) < ln_acc)
+        x_new = jnp.where(accept[:, :, None], y_safe, x_move)
         l_new = jnp.where(accept, l_y, l_move)
-        return x_new, l_new, jnp.sum(accept)
+        return x_new, l_new, jnp.sum(accept[0])
+
+    def _swap(self, key, x, logl, betas, odd):
+        """Replica-exchange between adjacent ladder rungs.
+
+        Alternating even/odd pairings; per-walker Metropolis swap with
+        ln p = (beta_k - beta_{k+1}) (logl_{k+1} - logl_k).
+        """
+        k_temps, w, _ = x.shape
+        if k_temps == 1:
+            return x, logl
+        pair_lo = jnp.arange(odd, k_temps - 1, 2)             # static
+        u = jax.random.uniform(key, (pair_lo.shape[0], w))
+        d_beta = betas[pair_lo] - betas[pair_lo + 1]          # [P]
+        d_logl = logl[pair_lo + 1] - logl[pair_lo]            # [P, w]
+        do = jnp.log(u) < d_beta[:, None] * d_logl            # [P, w]
+        x_lo, x_hi = x[pair_lo], x[pair_lo + 1]
+        l_lo, l_hi = logl[pair_lo], logl[pair_lo + 1]
+        new_lo = jnp.where(do[:, :, None], x_hi, x_lo)
+        new_hi = jnp.where(do[:, :, None], x_lo, x_hi)
+        x = x.at[pair_lo].set(new_lo).at[pair_lo + 1].set(new_hi)
+        logl = logl.at[pair_lo].set(jnp.where(do, l_hi, l_lo))
+        logl = logl.at[pair_lo + 1].set(jnp.where(do, l_lo, l_hi))
+        return x, logl
 
     def run(self, key=None, verbose: bool = False) -> EnsembleMCMCResult:
         cfg = self.config
         w2 = cfg.walkers // 2
+        kt = cfg.temps
+        betas = self._betas
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         k_init, k_run = jax.random.split(key)
-        x0 = jax.random.uniform(k_init, (cfg.walkers, self.ndim),
+        x0 = jax.random.uniform(k_init, (kt, cfg.walkers, self.ndim),
                                 minval=1e-4, maxval=1.0 - 1e-4)
-        l0 = self.logl_fn(x0)
+        l0 = self.logl_fn(x0.reshape(-1, self.ndim)).reshape(
+            kt, cfg.walkers)
 
-        def sweep(carry, k):
+        def sweep(carry, ks):
             x, logl = carry
-            k1, k2 = jax.random.split(k)
-            xa, la, na = self._half_update(k1, x[:w2], logl[:w2], x[w2:])
-            xb, lb, nb = self._half_update(k2, x[w2:], logl[w2:], xa)
-            x = jnp.concatenate([xa, xb])
-            logl = jnp.concatenate([la, lb])
-            return (x, logl), (x, logl, na + nb)
+            k1, k2, k3, k4 = jax.random.split(ks[0], 4)
+            xa, la, na = self._half_update(
+                k1, x[:, :w2], logl[:, :w2], x[:, w2:], betas)
+            xb, lb, nb = self._half_update(
+                k2, x[:, w2:], logl[:, w2:], xa, betas)
+            x = jnp.concatenate([xa, xb], axis=1)
+            logl = jnp.concatenate([la, lb], axis=1)
+            x, logl = self._swap(k3, x, logl, betas, 0)
+            x, logl = self._swap(k4, x, logl, betas, 1)
+            return (x, logl), (x[0], logl[0], na + nb)
 
-        keys = jax.random.split(k_run, cfg.sweeps)
+        keys = jax.random.split(k_run, cfg.sweeps)[:, None, :]
         (_, _), (xs, ls, naccs) = jax.lax.scan(sweep, (x0, l0), keys)
 
         burn = int(cfg.sweeps * cfg.burn_frac)
@@ -127,13 +175,14 @@ class EnsembleMCMC:
         rhat = _rhat(xs)
         if verbose:
             print(f"ensemble-mcmc: {xs.shape[0]} kept sweeps x "
-                  f"{cfg.walkers} walkers, acceptance {acc:.2f}, "
-                  f"max R-hat {np.nanmax(rhat):.3f}", flush=True)
+                  f"{cfg.walkers} walkers x {kt} temps, cold acceptance "
+                  f"{acc:.2f}, max R-hat {np.nanmax(rhat):.3f}",
+                  flush=True)
         return EnsembleMCMCResult(
             samples_u=xs.reshape(-1, self.ndim),
             chain_u=xs,
             logl=ls.reshape(-1),
             acceptance=acc,
             rhat=rhat,
-            n_call=int(cfg.sweeps) * cfg.walkers + cfg.walkers,
+            n_call=(int(cfg.sweeps) * cfg.walkers + cfg.walkers) * kt,
         )

@@ -58,3 +58,24 @@ def test_validation_errors():
         EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(walkers=31))
     with pytest.raises(ValueError):
         EnsembleMCMC(_logl, 20, EnsembleMCMCConfig(walkers=32))
+
+
+def test_parallel_tempering_multimodal():
+    """A well-separated bimodal target traps a plain ensemble in one
+    mode; the tempering ladder recovers both with the right weights."""
+    mu1, mu2 = 0.25, 0.75
+    s = 0.02
+
+    def logl(u):
+        d1 = -0.5 * jnp.sum((u - mu1) ** 2, axis=-1) / s**2
+        d2 = -0.5 * jnp.sum((u - mu2) ** 2, axis=-1) / s**2
+        return jnp.logaddexp(d1, d2)
+
+    pt = EnsembleMCMC(logl, 2, EnsembleMCMCConfig(
+        walkers=128, sweeps=1500, burn_frac=0.4, temps=4, t_max=32.0,
+        seed=3))
+    res = pt.run()
+    frac_hi = (res.samples_u[:, 0] > 0.5).mean()
+    # equal-weight modes: each should hold 35-65% of the samples
+    assert 0.35 < frac_hi < 0.65, frac_hi
+    assert np.nanmax(res.rhat) < 1.2, res.rhat
