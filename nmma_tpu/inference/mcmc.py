@@ -35,6 +35,8 @@ class EnsembleMCMCConfig:
     stretch_a: float = 2.0       # stretch-move scale parameter
     temps: int = 1               # parallel-tempering ladder size
     t_max: float = 64.0          # hottest temperature (geometric ladder)
+    evidence: bool = False       # stepping-stone ln Z (appends a beta=0
+    #                              prior rung; needs temps >= 2)
     seed: int = 42
 
 
@@ -45,6 +47,8 @@ class EnsembleMCMCResult(NamedTuple):
     acceptance: float
     rhat: np.ndarray             # [ndim] split-chain Gelman-Rubin
     n_call: int
+    logz: float = float("nan")   # stepping-stone evidence (evidence=True)
+    logz_err: float = float("nan")
 
 
 def _rhat(chain: np.ndarray) -> np.ndarray:
@@ -78,18 +82,26 @@ class EnsembleMCMC:
             raise ValueError(
                 f"walkers={config.walkers} too few for ndim={ndim}; "
                 f"need >= {2 * ndim + 2}")
+        if config.evidence and config.temps < 2:
+            raise ValueError("evidence=True needs a tempering ladder "
+                             "(temps >= 2)")
         self.logl_fn = logl_fn
         self.ndim = ndim
         self.config = config
 
     @property
     def _betas(self):
-        """Geometric inverse-temperature ladder, beta_0 = 1 (cold)."""
+        """Geometric inverse-temperature ladder, beta_0 = 1 (cold);
+        evidence mode appends an exact beta = 0 (prior) rung so the
+        stepping-stone product covers the full [0, 1] path."""
         cfg = self.config
         if cfg.temps == 1:
             return jnp.ones((1,))
         frac = jnp.arange(cfg.temps) / (cfg.temps - 1)
-        return jnp.power(cfg.t_max, -frac)
+        ladder = jnp.power(cfg.t_max, -frac)
+        if cfg.evidence:
+            ladder = jnp.concatenate([ladder, jnp.zeros((1,))])
+        return ladder
 
     def _half_update(self, key, x_move, l_move, x_ref, betas):
         """Stretch-move one half against the other, all temperatures.
@@ -143,8 +155,8 @@ class EnsembleMCMC:
     def run(self, key=None, verbose: bool = False) -> EnsembleMCMCResult:
         cfg = self.config
         w2 = cfg.walkers // 2
-        kt = cfg.temps
         betas = self._betas
+        kt = betas.shape[0]
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         k_init, k_run = jax.random.split(key)
         x0 = jax.random.uniform(k_init, (kt, cfg.walkers, self.ndim),
@@ -163,16 +175,20 @@ class EnsembleMCMC:
             logl = jnp.concatenate([la, lb], axis=1)
             x, logl = self._swap(k3, x, logl, betas, 0)
             x, logl = self._swap(k4, x, logl, betas, 1)
-            return (x, logl), (x[0], logl[0], na + nb)
+            return (x, logl), (x[0], logl, na + nb)
 
         keys = jax.random.split(k_run, cfg.sweeps)[:, None, :]
-        (_, _), (xs, ls, naccs) = jax.lax.scan(sweep, (x0, l0), keys)
+        (_, _), (xs, ls_all, naccs) = jax.lax.scan(sweep, (x0, l0), keys)
 
         burn = int(cfg.sweeps * cfg.burn_frac)
         xs = np.asarray(xs[burn::cfg.thin])                 # [n, W, d]
-        ls = np.asarray(ls[burn::cfg.thin])
+        ls_all = np.asarray(ls_all[burn::cfg.thin])         # [n, K, W]
+        ls = ls_all[:, 0]                                   # cold chain
         acc = float(np.asarray(naccs).sum()) / (cfg.sweeps * cfg.walkers)
         rhat = _rhat(xs)
+        logz, logz_err = (self._stepping_stone(ls_all, np.asarray(betas))
+                          if cfg.evidence else (float("nan"),
+                                                float("nan")))
         if verbose:
             print(f"ensemble-mcmc: {xs.shape[0]} kept sweeps x "
                   f"{cfg.walkers} walkers x {kt} temps, cold acceptance "
@@ -185,4 +201,39 @@ class EnsembleMCMC:
             acceptance=acc,
             rhat=rhat,
             n_call=(int(cfg.sweeps) * cfg.walkers + cfg.walkers) * kt,
+            logz=logz,
+            logz_err=logz_err,
         )
+
+    @staticmethod
+    def _stepping_stone(ls_all, betas):
+        """Stepping-stone evidence from the tempered chains.
+
+        ln Z = sum_j ln E_{beta_j}[exp((beta_{j+1} - beta_j) L)] over the
+        ascending ladder 0 = b_0 < ... < b_M = 1 (Xie et al. 2011); each
+        expectation uses the post-burn samples of its own rung. The
+        error is the block standard error over 8 sweep blocks.
+        """
+        order = np.argsort(betas)
+        bs = betas[order]                                   # ascending
+        chains = ls_all[:, order, :]                        # [n, K, W]
+
+        def lnz_of(block):
+            total = 0.0
+            for j in range(len(bs) - 1):
+                db = bs[j + 1] - bs[j]
+                lj = block[:, j, :].ravel()
+                m = lj.max()
+                total += db * m + np.log(
+                    np.mean(np.exp(db * (lj - m))))
+            return total
+
+        lnz = lnz_of(chains)
+        n = chains.shape[0]
+        n_blocks = min(8, n)
+        blocks = [chains[i * n // n_blocks:(i + 1) * n // n_blocks]
+                  for i in range(n_blocks)]
+        vals = [lnz_of(b) for b in blocks if b.shape[0] > 0]
+        err = float(np.std(vals) / np.sqrt(len(vals))) if len(vals) > 1 \
+            else float("nan")
+        return float(lnz), err

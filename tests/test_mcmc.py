@@ -79,3 +79,31 @@ def test_parallel_tempering_multimodal():
     # equal-weight modes: each should hold 35-65% of the samples
     assert 0.35 < frac_hi < 0.65, frac_hi
     assert np.nanmax(res.rhat) < 1.2, res.rhat
+
+
+def test_stepping_stone_evidence():
+    """Stepping-stone ln Z from the tempering ladder matches both the
+    analytic value and the nested sampler — two independent evidence
+    estimators agreeing on the same likelihood."""
+    # analytic: integral of exp(-chi^2/2) over the cube (mass fully
+    # contained) = 2 pi sqrt(|Sigma|)
+    lnz_true = np.log(2 * np.pi) + 0.5 * np.log(np.linalg.det(_COV))
+    pt = EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(
+        walkers=128, sweeps=1500, burn_frac=0.4, temps=8, t_max=512.0,
+        evidence=True, seed=5))
+    res = pt.run()
+    assert np.isfinite(res.logz) and np.isfinite(res.logz_err)
+    assert abs(res.logz - lnz_true) < max(3 * res.logz_err, 0.1), (
+        res.logz, lnz_true, res.logz_err)
+    ns = NestedSampler(jax.vmap(_logl), 2, NestedSamplerConfig(
+        nlive=256, n_delete=32, walks=12, dlogz=0.1, chunk_size=10,
+        seed=2))
+    r = ns.run(verbose=False)
+    assert abs(res.logz - r.logz) < 3 * max(res.logz_err + r.logz_err,
+                                            0.05), (res.logz, r.logz)
+
+
+def test_evidence_requires_ladder():
+    import pytest
+    with pytest.raises(ValueError):
+        EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(evidence=True, temps=1))
