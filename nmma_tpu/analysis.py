@@ -174,12 +174,12 @@ class EMAnalysis:
                   f"— chains not converged; increase sweeps (e.g. "
                   f"--mcmc-sweeps {2 * mcfg.sweeps}) or use the nested "
                   f"sampler", flush=True)
-        params = jax.jit(self.priors.transform)(jnp.asarray(res.samples_u))
-        post = {k: np.asarray(v) for k, v in params.items()}
-        post["log_likelihood"] = res.logl
+        # MCMC draws are equal-weight, so the shared posterior path
+        # (posterior_indices -> jitted prior transform) applies directly
+        post = self.posterior_samples(result=res)
         np.savez(os.path.join(cfg.outdir, f"{cfg.label}_mcmc_result.npz"),
                  acceptance=res.acceptance, rhat=res.rhat,
-                 ncall=res.n_call,
+                 ncall=res.n_call, logz=res.logz, logz_err=res.logz_err,
                  **{f"posterior_{k}": v for k, v in post.items()})
         from .io.results import save_posterior_csv
         save_posterior_csv(

@@ -198,7 +198,13 @@ def _single_run(args):
         return analysis
     if args.sampler == "mcmc":
         # affine-invariant ensemble MCMC: independent posterior
-        # cross-check of the nested sampler (no evidence)
+        # cross-check of the nested sampler
+        import numpy as _np
+        if args.skip_sampling:
+            print("--skip-sampling: likelihood assembled; exiting before "
+                  "MCMC (the ensemble sampler keeps no resume "
+                  "checkpoint to regenerate from).")
+            return analysis
         from ..inference import EnsembleMCMCConfig
         mcfg = EnsembleMCMCConfig(
             walkers=getattr(args, "mcmc_walkers", 256),
@@ -206,10 +212,19 @@ def _single_run(args):
             temps=getattr(args, "mcmc_temps", 1),
             seed=args.seed)
         post = analysis.run_mcmc(mcmc_config=mcfg, verbose=args.verbose)
+        res = analysis.mcmc_result
         print(f"mcmc posterior: {len(next(iter(post.values())))} samples "
               f"written to {cfg.outdir}/{cfg.label}_mcmc_result.npz "
-              f"(max R-hat "
-              f"{float(max(analysis.mcmc_result.rhat)):.3f})")
+              f"(max R-hat {float(_np.nanmax(res.rhat)):.3f})")
+        if args.bestfit:
+            from ..plotting import post_process_bestfit
+            post_process_bestfit(analysis, result=res)
+        if args.plot:
+            from ..plotting import corner_plot, lightcurve_fit_plot
+            lightcurve_fit_plot(analysis, result=res)
+            corner_plot(post,
+                        save_path=os.path.join(
+                            cfg.outdir, f"{cfg.label}_corner.png"))
         return analysis
     if args.skip_sampling:
         # with an existing checkpoint, regenerate result artifacts/plots

@@ -50,6 +50,13 @@ class EnsembleMCMCResult(NamedTuple):
     logz: float = float("nan")   # stepping-stone evidence (evidence=True)
     logz_err: float = float("nan")
 
+    def posterior_indices(self, rng=None):
+        """MCMC draws are already equal-weight posterior samples, so the
+        posterior index set is everything — this mirrors the nested
+        result's API so ``EMAnalysis.posterior_samples`` / the plotting
+        helpers accept either result type."""
+        return np.arange(self.logl.shape[0])
+
 
 def _rhat(chain: np.ndarray) -> np.ndarray:
     """Split-chain Gelman-Rubin over walkers, [n, W, d] -> [d].
@@ -119,8 +126,14 @@ class EnsembleMCMC:
         j = jax.random.randint(k_j, (k_temps, half), 0, half)
         ref = jnp.take_along_axis(x_ref, j[:, :, None], axis=1)
         y = ref + z[:, :, None] * (x_move - ref)               # [K, half, d]
-        in_cube = jnp.all((y > 0.0) & (y < 1.0), axis=-1)
-        y_safe = jnp.clip(y, 1e-6, 1.0 - 1e-6)
+        # the sampled cube is [eps, 1-eps]: proposals outside are rejected
+        # OUTRIGHT (not clipped into range — accepting a clipped point
+        # whose Hastings factor used the unclipped z breaks detailed
+        # balance and piles mass on the prior boundary); the clip below
+        # only shields the likelihood call on to-be-rejected rows
+        eps = 1e-6
+        in_cube = jnp.all((y > eps) & (y < 1.0 - eps), axis=-1)
+        y_safe = jnp.clip(y, eps, 1.0 - eps)
         l_y = self.logl_fn(y_safe.reshape(-1, d)).reshape(k_temps, half)
         ln_acc = (d - 1.0) * jnp.log(z) + betas[:, None] * (l_y - l_move)
         accept = in_cube & (jnp.log(
@@ -166,7 +179,7 @@ class EnsembleMCMC:
 
         def sweep(carry, ks):
             x, logl = carry
-            k1, k2, k3, k4 = jax.random.split(ks[0], 4)
+            k1, k2, k3, k4 = jax.random.split(ks, 4)
             xa, la, na = self._half_update(
                 k1, x[:, :w2], logl[:, :w2], x[:, w2:], betas)
             xb, lb, nb = self._half_update(
@@ -177,7 +190,7 @@ class EnsembleMCMC:
             x, logl = self._swap(k4, x, logl, betas, 1)
             return (x, logl), (x[0], logl, na + nb)
 
-        keys = jax.random.split(k_run, cfg.sweeps)[:, None, :]
+        keys = jax.random.split(k_run, cfg.sweeps)
         (_, _), (xs, ls_all, naccs) = jax.lax.scan(sweep, (x0, l0), keys)
 
         burn = int(cfg.sweeps * cfg.burn_frac)

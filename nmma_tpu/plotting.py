@@ -57,8 +57,11 @@ def post_process_bestfit(analysis, result=None, save=True):
     chi2 = compute_chisquare_dict(analysis, bestfit)
     payload = {
         "Best fit index": int(np.argmax(result.logl)),
-        "log_evidence": result.logz,
-        "log_evidence_err": result.logz_err,
+        # an MCMC result carries logz=nan (no evidence estimate); None
+        # keeps the artifact strict-JSON parseable
+        "log_evidence": None if np.isnan(result.logz) else result.logz,
+        "log_evidence_err": (None if np.isnan(result.logz_err)
+                             else result.logz_err),
         "log_likelihood": float(result.logl.max()),
         "posterior_parameters": bestfit,
         "chi2_per_dof": chi2,
