@@ -108,17 +108,20 @@ class _SVDFastEval:
         # output operator with denorm folded in: m = h . vtw + voff [F,T]
         self._vtw = np.einsum("fhc,ftc->fht", w2, va) * scale[:, None, :]
         self._voff = np.einsum("fc,ftc->ft", b2, va) * scale + svd.mins
+        # rank-C factors: m = (h . w2 + b2) . (scale*va interp) + mins
+        self._w2c = w2.astype(np.float32)                     # [F, H, C]
+        self._b2c = b2.astype(np.float32)                     # [F, C]
+        self._va_scaled = va * scale[:, :, None]              # [F, T, C]
+        self._mins = np.asarray(svd.mins, dtype=np.float64)   # [F, T]
+        self._w1_stack = np.asarray(svd.w1, dtype=np.float32)  # [F, P, H]
+        self._b1_stack = np.asarray(svd.b1, dtype=np.float32)  # [F, H]
         self._grid = np.asarray(svd.tt, dtype=np.float64)
         self._ops = {}
 
-    def operator_batched(self, t_days):
-        """(vtw_q [F, H, Q], offset [F, Q], inside [Q]) for a static grid:
-        the per-filter output blocks, interp folded in."""
+    def _interp_weights(self, t_days):
+        """Hat-basis interpolation matrix wi [T, Q] + inside mask [Q]
+        for a static output grid."""
         tq = np.asarray(t_days, dtype=np.float64)
-        key = (tq.shape, tq.tobytes())
-        hit = self._ops.get(key)
-        if hit is not None:
-            return hit
         grid = self._grid
         t = len(grid)
         q = len(tq)
@@ -128,9 +131,42 @@ class _SVDFastEval:
         np.add.at(wi, (pos, np.arange(q)), 1.0 - frac)
         np.add.at(wi, (pos + 1, np.arange(q)), frac)
         inside = (tq >= grid[0]) & (tq <= grid[-1])
+        return wi, inside
+
+    def operator_batched(self, t_days):
+        """(vtw_q [F, H, Q], offset [F, Q], inside [Q]) for a static grid:
+        the per-filter output blocks, interp folded in."""
+        tq = np.asarray(t_days, dtype=np.float64)
+        key = (tq.shape, tq.tobytes())
+        hit = self._ops.get(key)
+        if hit is not None:
+            return hit
+        wi, inside = self._interp_weights(tq)
         vtw_q = np.einsum("fht,tq->fhq", self._vtw, wi).astype(np.float32)
         off_q = (self._voff @ wi).astype(np.float32)
         entry = (vtw_q, off_q, inside)
+        self._ops[key] = entry
+        return entry
+
+    def operator_rankc(self, t_days):
+        """(va_q [F, C, Q], offset [F, Q], inside [Q]): the output
+        operator kept FACTORED through the C-dim SVD bottleneck —
+        m[f, q] = (h . w2 + b2)[f, :] . va_q[f] + off_q[f]. At
+        production dims (H=2048, C=10, Q=150) this is ~10x fewer FLOPs
+        than contracting the folded [F, H, Q] operator, and the batched
+        eval keeps the hidden activations in a [F, B, H] layout so XLA
+        emits filter-batched dots with no 36-MiB relayout transposes
+        (both showed up in the compiled headline-bench HLO)."""
+        tq = np.asarray(t_days, dtype=np.float64)
+        key = ("rankc", tq.shape, tq.tobytes())
+        hit = self._ops.get(key)
+        if hit is not None:
+            return hit
+        wi, inside = self._interp_weights(tq)
+        va_q = np.einsum("ftc,tq->fcq", self._va_scaled,
+                         wi).astype(np.float32)
+        off_q = (self._mins @ wi).astype(np.float32)
+        entry = (va_q, off_q, inside)
         self._ops[key] = entry
         return entry
 
@@ -151,27 +187,72 @@ class _SVDFastEval:
         self._ops[key] = entry
         return entry
 
+    def _rankc_fn(self, t_days):
+        """custom-vmap eval for the factored operator: x [P] -> m [F, Q].
+
+        The batched rule lays the hidden activations out as [F, B, H] so
+        both MLP dots are clean filter-batched dot_generals — under plain
+        ``vmap`` XLA relayouts the [B, F*H] activation twice (36 MiB each
+        at the headline-bench dims) to feed the filter-batched output
+        contraction."""
+        va_q, off_q, inside = self.operator_rankc(t_days)
+        key = ("rankc_fn", va_q.shape, off_q.tobytes())
+        hit = self._ops.get(key)
+        if hit is not None:
+            return hit
+        w1, b1 = self._w1_stack, self._b1_stack
+        w2c, b2c = self._w2c, self._b2c
+        f = self.F
+
+        @jax.custom_batching.custom_vmap
+        def core(x):
+            hid = jax.nn.relu(jnp.einsum("p,fph->fh", x, w1) + b1)
+            c = jnp.einsum("fh,fhc->fc", hid, w2c) + b2c        # [F, C]
+            return jnp.einsum("fc,fcq->fq", c, va_q) + off_q    # [F, Q]
+
+        @core.def_vmap
+        def core_vmap(axis_size, in_batched, x):
+            if not in_batched[0]:
+                return core(x), False
+            xb = jnp.broadcast_to(x[None], (f,) + x.shape)      # [F, B, P]
+            hid = jax.nn.relu(jnp.einsum("fbp,fph->fbh", xb, w1)
+                              + b1[:, None, :])                 # [F, B, H]
+            c = jnp.einsum("fbh,fhc->fbc", hid, w2c) + b2c[:, None, :]
+            m = jnp.einsum("fbc,fcq->fbq", c, va_q) + off_q[:, None, :]
+            return m.transpose(1, 0, 2), True                   # [B, F, Q]
+
+        entry = (core, inside)
+        self._ops[key] = entry
+        return entry
+
     def __call__(self, params, t_days):
         theta = jnp.stack([jnp.asarray(params[p])
                            for p in self.parameter_names])
         x = (theta - self.param_mins) / (self.param_maxs - self.param_mins)
-        hid = jax.nn.relu(x @ self.w1_flat + self.b1_flat)       # [F*H]
-        # Two output-operator forms with identical math:
+        # Three output-operator forms with identical math:
         #  - "dense": one [F*H, F*Q] block-diagonal matmul. Wins at small
         #    H (one big MXU op vs F launch-bound slivers; measured ~30x
         #    over the batch-middle einsum at H=128).
         #  - "batched": per-filter [H, Q] blocks contracted as a batched
-        #    matmul. At production dims (H=2048) the dense zero blocks
-        #    are F x wasted FLOPs/HBM, so the batched form wins there.
-        # NMMA_TPU_SVD_EVAL=dense|batched overrides the H>=1024 heuristic.
+        #    matmul over the FOLDED [F, H, Q] operator.
+        #  - "rankc": the operator kept factored through the C-dim SVD
+        #    bottleneck with a [F, B, H]-native batched layout — ~10x
+        #    fewer FLOPs and no activation relayouts at production dims.
+        # NMMA_TPU_SVD_EVAL=dense|batched|rankc overrides the heuristic.
         mode = os.environ.get("NMMA_TPU_SVD_EVAL", "auto")
-        batched = self.H >= 1024 if mode == "auto" else mode == "batched"
-        if batched:
+        if mode == "auto":
+            mode = "rankc" if self.H >= 1024 else "dense"
+        if mode == "rankc":
+            core, inside = self._rankc_fn(t_days)
+            m = core(x)                                          # [F, Q]
+        elif mode == "batched":
             vtw_q, off_q, inside = self.operator_batched(t_days)
+            hid = jax.nn.relu(x @ self.w1_flat + self.b1_flat)   # [F*H]
             m = jnp.einsum("fh,fhq->fq", hid.reshape(self.F, self.H),
                            vtw_q) + off_q                        # [F, Q]
         else:
             w_out, offset, inside = self.operator(t_days)
+            hid = jax.nn.relu(x @ self.w1_flat + self.b1_flat)   # [F*H]
             m = (hid @ w_out + offset).reshape(self.F, -1)       # [F, Q]
         # beyond the trained time range the surrogate is not trusted:
         # inf fill (reference FIXME at lightcurve_generation.py:174-176)
