@@ -24,6 +24,7 @@ Statistical semantics matched to the reference:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -181,10 +182,23 @@ class EMLikelihood:
         up = (xq - x_l[None, None, :]) / dl[None, None, :]
         dn = (x_r[None, None, :] - xq) / dr[None, None, :]
         hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)          # [F, N, T]
-        # HIGHEST: the TPU MXU's default bf16 multiplies would cost
-        # ~0.05 mag on magnitudes of size ~20-40
-        est_k = jnp.einsum("fnt,fkt->fkn", hat, clean,
-                           precision=jax.lax.Precision.HIGHEST)  # [F, K, N]
+        # Two lowerings of the same contraction (cf. the GRB kernel's
+        # NMMA_TPU_GRB_CONTRACT):
+        #  - "einsum": an MXU dot at HIGHEST precision (the default bf16
+        #    multiplies would cost ~0.05 mag on magnitudes ~20-40). The
+        #    6-pass f32 emulation forces the [B, F, N, T] hat tensor out
+        #    to HBM — 28 MiB per 512-batch on the headline config.
+        #  - "fused": a VPU multiply+reduce. XLA fuses the hat producer
+        #    into the reduction so hat stays in registers, at native f32
+        #    precision; the matrices are tiny (N ~ 16) so the MXU was
+        #    idle anyway. Default stays einsum until the TPU timing is
+        #    recorded in BENCHMARKS.md.
+        if os.environ.get("NMMA_TPU_EM_CONTRACT", "einsum") == "fused":
+            est_k = jnp.sum(hat[:, None, :, :] * clean[:, :, None, :],
+                            axis=-1)                           # [F, K, N]
+        else:
+            est_k = jnp.einsum("fnt,fkt->fkn", hat, clean,
+                               precision=jax.lax.Precision.HIGHEST)
 
         valid = jnp.isfinite(rows)                             # [F, K, T]
         n_valid = valid.sum(axis=2)
