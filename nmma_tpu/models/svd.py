@@ -214,6 +214,15 @@ class _SVDFastEval:
         def core_vmap(axis_size, in_batched, x):
             if not in_batched[0]:
                 return core(x), False
+            # a live-point batch on TPU goes through the Pallas kernel,
+            # which keeps the [B, F, H] hidden activations in VMEM (the
+            # dominant HBM buffer of the XLA form at production dims);
+            # same gating policy as the Me2017/GRB kernels
+            if (jax.default_backend() == "tpu"
+                    and not os.environ.get("NMMA_TPU_DISABLE_PALLAS")):
+                from ..ops.pallas_svd import svd_surrogate_mags_pallas
+                return svd_surrogate_mags_pallas(
+                    x, w1, b1, w2c, b2c, va_q, off_q), True     # [B, F, Q]
             xb = jnp.broadcast_to(x[None], (f,) + x.shape)      # [F, B, P]
             hid = jax.nn.relu(jnp.einsum("fbp,fph->fbh", xb, w1)
                               + b1[:, None, :])                 # [F, B, H]
