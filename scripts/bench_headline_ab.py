@@ -9,7 +9,6 @@ prints a table. The winner becomes bench.py's default; losers stay
 selectable via NMMA_TPU_SVD_EVAL / NMMA_TPU_EM_CONTRACT.
 """
 
-import itertools
 import os
 import subprocess
 import sys
@@ -27,19 +26,34 @@ rate, sample, warmup = bench.bench_tpu_rate(ana)
 fin = float((sample > -1e29).mean())
 print(f"RESULT svd={os.environ.get('NMMA_TPU_SVD_EVAL','auto')} "
       f"em={os.environ.get('NMMA_TPU_EM_CONTRACT','einsum')} "
+      f"pallas={not os.environ.get('NMMA_TPU_DISABLE_PALLAS')} "
       f"rate={rate:.0f} evals/s warmup={warmup:.1f}s finite={fin:.3f}",
       flush=True)
 """
 
+# (svd eval, em contract, pallas svd kernel); the first row is the
+# round-3 shipped configuration
+CELLS = [
+    ("batched", "einsum", False),
+    ("rankc", "einsum", False),
+    ("rankc", "fused", False),
+    ("rankc", "einsum", True),
+    ("rankc", "fused", True),
+]
+
 
 def main():
     results = []
-    for svd_mode, em_mode in itertools.product(("batched", "rankc"),
-                                               ("einsum", "fused")):
+    for svd_mode, em_mode, pallas in CELLS:
         env = dict(os.environ)
         env["NMMA_TPU_SVD_EVAL"] = svd_mode
         env["NMMA_TPU_EM_CONTRACT"] = em_mode
-        print(f"--- svd={svd_mode} em={em_mode}", flush=True)
+        if pallas:
+            env.pop("NMMA_TPU_DISABLE_PALLAS", None)
+        else:
+            env["NMMA_TPU_DISABLE_PALLAS"] = "1"
+        print(f"--- svd={svd_mode} em={em_mode} pallas={pallas}",
+              flush=True)
         r = subprocess.run(
             [sys.executable, "-u", "-c", CODE.format(repo=REPO)],
             env=env, capture_output=True, text=True, timeout=1800)
