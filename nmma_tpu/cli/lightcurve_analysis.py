@@ -38,6 +38,7 @@ def _single_run(args):
     from ..models.svd import SVDModelData, make_svd_source_model
 
     model_name = args.model
+    fiesta_data = None
     if args.svd_path:
         svd = SVDModelData.load(args.svd_path)
         source = make_svd_source_model(model_name, svd,
@@ -69,6 +70,10 @@ def _single_run(args):
                 fdata = None
             if fdata is not None:
                 make_fiesta_source_model(model_name, fdata)
+        # the support guard applies whether the surrogate was resolved
+        # just now or registered by an earlier run in this process
+        from ..models.fiesta import registered_fiesta_data
+        fiesta_data = registered_fiesta_data(model_name)
 
     data = None
     trigger_time = args.trigger_time or 0.0
@@ -173,6 +178,13 @@ def _single_run(args):
         print(f"inclination_EM prior built from {args.fits_file} "
               f"at dL={float(dL):.1f} Mpc")
         priors = PriorDict(priors)
+    if fiesta_data is not None:
+        # reference FiestaModel raises at construction when the prior
+        # extends beyond the trained support (nmma/em/model.py:434-445) —
+        # out-of-support draws would silently extrapolate the MLP
+        from ..priors import load_prior_file
+        fiesta_data.check_vs_priors(
+            priors if priors is not None else load_prior_file(args.prior))
     analysis = EMAnalysis(cfg, data=data, priors=priors)
     from .parsing import write_complete_config
     write_complete_config(args)

@@ -63,7 +63,7 @@ def build_bands(frequencies, duration, chirp_mass_min, n_bands=8,
     f = np.asarray(frequencies, dtype=np.float64)
     duration = float(duration)
     edges = np.geomspace(f[0], f[-1], n_bands + 1)
-    starts, counts = [], []
+    starts, counts, decs = [], [], []
     for b in range(n_bands):
         lo, hi = edges[b], edges[b + 1]
         sel = np.flatnonzero((f >= lo) & (f < hi if b < n_bands - 1
@@ -76,10 +76,13 @@ def build_bands(frequencies, duration, chirp_mass_min, n_bands=8,
         starts.append(take)
         cnt = np.full(len(take), dec, dtype=np.int64)
         # the last stride may overhang the band edge: shrink to the
-        # actual number of grid bins it covers
+        # actual number of grid bins it covers (its NOMINAL decimation,
+        # carried in decs, still governs the alias-safe window width)
         cnt[-1] = sel[-1] + 1 - take[-1]
         counts.append(cnt)
-    return np.concatenate(starts), np.concatenate(counts)
+        decs.append(np.full(len(take), dec, dtype=np.int64))
+    return (np.concatenate(starts), np.concatenate(counts),
+            np.concatenate(decs))
 
 
 @dataclass
@@ -113,9 +116,9 @@ class MBGWLikelihood:
         self._bands = []
         self.n_kept = 0
         for ifo in self.ifos:
-            starts, counts = build_bands(ifo.frequencies, ifo.duration,
-                                         chirp_mass_min, n_bands=n_bands,
-                                         t_buffer=t_buffer, gamma=gamma)
+            starts, counts, decs = build_bands(
+                ifo.frequencies, ifo.duration, chirp_mass_min,
+                n_bands=n_bands, t_buffer=t_buffer, gamma=gamma)
             f = np.asarray(ifo.frequencies, dtype=np.float64)
             psd = np.asarray(ifo.psd, dtype=np.float64)
             inv_psd = np.where(np.isfinite(psd) & (psd > 0), 1.0 / psd,
@@ -139,13 +142,12 @@ class MBGWLikelihood:
             m = np.round(f / df_).astype(int)     # global grid bins
             n_fft = 2 * (m.max() + 1)
             d_smooth = np.zeros(len(f), dtype=np.complex128)
-            band_of = np.zeros(len(f), dtype=np.int64)
-            uniq_counts = np.unique(counts)
-            stride_of = np.repeat(counts, counts)[:len(f)] \
-                if counts.sum() >= len(f) else None
-            # window per distinct stride length (bands share strides)
-            for dec in uniq_counts:
-                sel_strides = np.flatnonzero(counts == dec)
+            # window per distinct NOMINAL decimation factor: a band's
+            # shortened final stride (leftover bins at the band edge)
+            # must use its band's alias-safe window, not the much wider
+            # window its raw leftover count would imply
+            for dec in np.unique(decs):
+                sel_strides = np.flatnonzero(decs == dec)
                 covered = np.concatenate(
                     [np.arange(starts[j], starts[j] + counts[j])
                      for j in sel_strides])

@@ -202,14 +202,24 @@ def fiesta_surrogate_mags(data: FiestaSurrogateData, params, t_days,
         log_nu_grid = jnp.log10(jnp.asarray(data.nus))
 
         def flux_rows(nu_q):
-            """log10 F_nu at query frequencies [Q] -> [Q, T]."""
+            """log10 F_nu at query frequencies [Q] -> [Q, T].
+
+            Queries OUTSIDE the trained frequency grid return a
+            log-flux floor (-99 -> effectively-inf magnitude) instead
+            of clamping to the edge row — constant extrapolation would
+            feed finite, wrong magnitudes into the likelihood; this
+            mirrors the inf fill outside the trained time range below.
+            """
             log_nu_q = jnp.log10(jnp.asarray(nu_q))
             idx = jnp.clip(jnp.searchsorted(log_nu_grid, log_nu_q) - 1, 0,
                            len(data.nus) - 2)
             lo = log_nu_grid[idx]
             hi = log_nu_grid[idx + 1]
             w = jnp.clip((log_nu_q - lo) / (hi - lo), 0.0, 1.0)[:, None]
-            return (1 - w) * log_flux[idx] + w * log_flux[idx + 1]
+            rows = (1 - w) * log_flux[idx] + w * log_flux[idx + 1]
+            in_grid = ((log_nu_q >= log_nu_grid[0])
+                       & (log_nu_q <= log_nu_grid[-1]))[:, None]
+            return jnp.where(in_grid, rows, -99.0)
 
         if nu_nodes is not None:
             # transmission-weighted band integral over the flux grid
@@ -236,6 +246,17 @@ def fiesta_surrogate_mags(data: FiestaSurrogateData, params, t_days,
     return jnp.where(ok, out, jnp.inf)
 
 
+# name -> FiestaSurrogateData for every registered fiesta source, so the
+# trained-support guard applies on REUSE too (a model registered by an
+# earlier run in the same process skips the resolution path entirely)
+_REGISTERED: dict = {}
+
+
+def registered_fiesta_data(name):
+    """The FiestaSurrogateData behind a registered source model, if any."""
+    return _REGISTERED.get(name)
+
+
 def make_fiesta_source_model(name: str,
                              data: FiestaSurrogateData) -> SourceModel:
     if data.kind == "flux":
@@ -259,6 +280,7 @@ def make_fiesta_source_model(name: str,
         filter_names=tuple(data.filters) if data.filters else None,
     )
     register_source_model(model)
+    _REGISTERED[name] = data
     return model
 
 
@@ -267,7 +289,14 @@ def make_fiesta_source_model(name: str,
 # ---------------------------------------------------------------------------
 
 def _collect_dense_layers(tree):
-    """Walk a flax param tree collecting Dense kernels/biases in order."""
+    """Walk a flax param tree collecting Dense kernels/biases in order.
+
+    CVAE trees carry both encoder and decoder submodules; inference only
+    needs the decoder (the encoder maps training targets to the latent,
+    reference fiesta CVAE training), so when a decoder subtree exists
+    only its layers are kept — interleaving encoder and decoder Dense
+    layers by their trailing digit would build a nonsense network.
+    """
     layers = {}
 
     def walk(node, path):
@@ -280,6 +309,10 @@ def _collect_dense_layers(tree):
                     walk(v, path + (str(k),))
 
     walk(tree, ())
+    dec = {p: kb for p, kb in layers.items()
+           if any("decoder" in part.lower() for part in p)}
+    if dec:
+        layers = dec
 
     def order_key(path):
         # Dense_0, Dense_1, ... (flax linen auto-naming) or layers_0 ...
@@ -291,6 +324,28 @@ def _collect_dense_layers(tree):
     if not ordered:
         raise ValueError("no Dense kernel/bias pairs found in params tree")
     return ordered
+
+
+def _reduce_cvae_latent(layers, expected_in):
+    """Drop the latent rows of a CVAE decoder's first kernel.
+
+    At inference the latent input is the prior mean (zeros), so the
+    decoder reduces to a plain parameter->output MLP by deleting the
+    latent block of the first kernel (zero activations contribute
+    nothing). The latent is assumed to occupy the LEADING input slots
+    (decoder(concat(z, x)) — the usual conditioning order); validation
+    against real fiesta CVAE artifacts is pending network access, and a
+    wrong assumption fails loudly downstream via check_vs_priors /
+    injection-recovery tests rather than silently here.
+    """
+    k0, b0 = layers[0]
+    if k0.shape[0] == expected_in:
+        return layers
+    if k0.shape[0] < expected_in:
+        raise ValueError(
+            f"fiesta network input dim {k0.shape[0]} < expected "
+            f"{expected_in} parameters")
+    return [(k0[k0.shape[0] - expected_in:], b0)] + list(layers[1:])
 
 
 def _load_network_file(path):
@@ -357,10 +412,14 @@ def ingest_fiesta_directory(directory, name, filters=None):
 
     times = np.asarray(meta["times"], dtype=np.float64)
     parameter_names = tuple(meta["parameter_names"])
-    dists = {k: (float(np.min(v[0] if np.ndim(v) else v)),
-                 float(np.max(v[1] if np.ndim(v) else v)))
-             if not isinstance(v, (list, tuple)) or len(v) < 2
-             else (float(v[0]), float(v[1]))
+
+    def _support(v):
+        # fiesta stores (lo, hi) pairs, scalars, or trained-grid arrays;
+        # the support is always the value range
+        arr = np.asarray(v, dtype=np.float64).ravel()
+        return float(arr.min()), float(arr.max())
+
+    dists = {k: _support(v)
              for k, v in dict(meta.get("parameter_distributions",
                                        {})).items()}
     x_lo, x_hi = _scaler_bounds(meta.get("X_scaler", meta))
@@ -368,7 +427,8 @@ def ingest_fiesta_directory(directory, name, filters=None):
     nus = meta.get("nus")
     if nus is not None:                      # flux surrogate
         net_path = os.path.join(directory, f"{name}.pkl")
-        layers = _load_network_file(net_path)
+        layers = _reduce_cvae_latent(_load_network_file(net_path),
+                                     len(parameter_names))
         y_lo, y_hi = _scaler_bounds(meta.get("y_scaler", meta))
         return FiestaSurrogateData(
             name=name, kind="flux", parameter_names=parameter_names,
@@ -391,7 +451,8 @@ def ingest_fiesta_directory(directory, name, filters=None):
         net_path = os.path.join(directory, f"{filt}.pkl")
         if not os.path.exists(net_path):
             raise FileNotFoundError(f"missing network file {net_path}")
-        per_filter.append(_load_network_file(net_path))
+        per_filter.append(_reduce_cvae_latent(_load_network_file(net_path),
+                                              len(parameter_names)))
         sc = y_scalers.get(filt) if isinstance(y_scalers, dict) else None
         lo, hi = _scaler_bounds(sc) if sc is not None else (
             np.zeros(len(times)), np.ones(len(times)))
@@ -442,7 +503,11 @@ def load_fiesta_surrogate(model_name, surrogates_dir=None, filters=None):
             try:
                 return ingest_fiesta_directory(d, model_name,
                                                filters=filters)
-            except FileNotFoundError as e:
+            except (FileNotFoundError, ValueError) as e:
+                # a malformed candidate (e.g. a stray metadata.pkl at the
+                # surrogates root) must not abort the search before the
+                # real KN/{model}/model / GRB/{model}/model layouts are
+                # tried
                 errors.append(str(e))
     raise FileNotFoundError(
         f"fiesta surrogate {model_name!r} not found under {root!r} "

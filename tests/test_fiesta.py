@@ -296,3 +296,160 @@ def test_flux_surrogate_bandpass_integration():
         data2, theta, jnp.asarray(TIMES), jnp.asarray(nu_eff),
         nu_nodes=jnp.asarray(nodes), nu_weights=jnp.asarray(weights)))
     assert np.max(np.abs(banded2 - point2)) > 1e-3
+
+
+def test_cvae_decoder_reduction(tmp_path):
+    """A CVAE param tree (encoder + decoder submodules, latent-leading
+    decoder input) ingests as the zero-latent decoder MLP: encoder
+    layers are dropped, the latent rows of the first decoder kernel are
+    deleted, and the eval matches decoding concat(z=0, x) exactly."""
+    from flax import serialization
+
+    rng = np.random.default_rng(21)
+    data = _synthetic_lightcurve_data(rng)
+    latent = 3
+    p = len(PARAMS)
+    meta = {
+        "times": data.times,
+        "parameter_names": list(data.parameter_names),
+        "parameter_distributions": {k: list(v) for k, v in
+                                    data.parameter_distributions.items()},
+        "filters": list(data.filters),
+        "X_scaler": {"min_val": data.x_min, "max_val": data.x_max},
+        "y_scaler": {f: {"min_val": data.y_min[i],
+                         "max_val": data.y_max[i]}
+                     for i, f in enumerate(data.filters)},
+    }
+    with open(os.path.join(tmp_path, "SynthKN_MLP_metadata.pkl"),
+              "wb") as fh:
+        pickle.dump(meta, fh)
+    dec_k0 = {}
+    for i, f in enumerate(data.filters):
+        # decoder first kernel gets `latent` extra LEADING input rows
+        k0 = np.concatenate([rng.normal(0, 0.5, (latent, 16)),
+                             data.kernels[0][i]])
+        dec_k0[f] = k0
+        params = {"params": {
+            "encoder": {
+                "Dense_0": {"kernel": rng.normal(0, 1, (60, 8)),
+                            "bias": rng.normal(0, 1, 8)},
+                "Dense_1": {"kernel": rng.normal(0, 1, (8, latent)),
+                            "bias": rng.normal(0, 1, latent)},
+            },
+            "decoder": {
+                "Dense_0": {"kernel": k0,
+                            "bias": np.asarray(data.biases[0][i])},
+                "Dense_1": {"kernel": np.asarray(data.kernels[1][i]),
+                            "bias": np.asarray(data.biases[1][i])},
+            },
+        }}
+        with open(os.path.join(tmp_path, f"{f}.pkl"), "wb") as fh:
+            fh.write(serialization.to_bytes(params))
+
+    got = ingest_fiesta_directory(str(tmp_path), "SynthKN_MLP")
+    # latent rows dropped -> kernels identical to the plain-MLP data
+    for a, b in zip(got.kernels, data.kernels):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    # and dropping latent rows == decoding with z = 0
+    x = np.array([0.3, 0.7])
+    h_full = np.maximum(
+        np.concatenate([np.zeros(latent), x]) @ dec_k0["ztfg"]
+        + data.biases[0][0], 0.0)
+    h_red = np.maximum(x @ got.kernels[0][0] + got.biases[0][0], 0.0)
+    np.testing.assert_allclose(h_red, h_full, atol=1e-12)
+
+
+def test_support_extraction_from_grids(tmp_path):
+    """parameter_distributions stored as trained-grid ARRAYS (not
+    (lo, hi) pairs) record (min, max); scalars record (v, v)."""
+    rng = np.random.default_rng(22)
+    data = _synthetic_lightcurve_data(rng)
+    _write_fiesta_format_dir(str(tmp_path), data)
+    meta_path = os.path.join(tmp_path, "SynthKN_MLP_metadata.pkl")
+    with open(meta_path, "rb") as fh:
+        meta = pickle.load(fh)
+    meta["parameter_distributions"] = {
+        "log10_mej_dyn": np.array([-1.2, -3.0, -2.1, -1.5]),  # unsorted grid
+        "log10_mej_wind": -1.0,                               # scalar
+    }
+    with open(meta_path, "wb") as fh:
+        pickle.dump(meta, fh)
+    got = ingest_fiesta_directory(str(tmp_path), "SynthKN_MLP")
+    assert got.parameter_distributions["log10_mej_dyn"] == (-3.0, -1.2)
+    assert got.parameter_distributions["log10_mej_wind"] == (-1.0, -1.0)
+
+
+def test_flux_out_of_grid_frequency_is_invalid():
+    """Filters beyond the trained frequency grid must not silently get
+    edge-row (constant-extrapolated) magnitudes."""
+    rng = np.random.default_rng(23)
+    p, t, nu = 2, len(TIMES), 4
+    hidden = 8
+    nus = np.geomspace(1e14, 1e15, nu)
+    data = FiestaSurrogateData(
+        name="SynthFlux", kind="flux", parameter_names=PARAMS,
+        parameter_distributions={}, times=TIMES,
+        x_min=np.array([-3.0, -2.0]), x_max=np.array([-1.0, -0.5]),
+        kernels=(rng.normal(0, 0.3, (p, hidden)),
+                 rng.normal(0, 0.3, (hidden, nu * t))),
+        biases=(rng.normal(0, 0.1, hidden), np.full(nu * t, 0.5)),
+        y_min=np.full(nu * t, -2.0), y_max=np.full(nu * t, 3.0),
+        nus=nus)
+    theta = {k: jnp.asarray(v) for k, v in
+             zip(PARAMS, (-2.0, -1.0))}
+    t_q = jnp.asarray(np.geomspace(0.2, 15.0, 16))
+    mags = np.asarray(fiesta_surrogate_mags(
+        data, theta, t_q,
+        jnp.asarray([3e14, 1e10])))   # in-grid, WAY out of grid (radio)
+    assert np.isfinite(mags[0]).any()
+    assert (mags[1] > 90).all()       # log-flux floor -> unusable row
+
+
+def test_load_skips_malformed_candidate(tmp_path):
+    """A stray metadata.pkl at the surrogates root (raising ValueError)
+    must not abort the search before KN/{model}/model is tried."""
+    rng = np.random.default_rng(24)
+    data = _synthetic_lightcurve_data(rng)
+    with open(os.path.join(tmp_path, "metadata.pkl"), "wb") as fh:
+        pickle.dump({"times": [1.0], "parameter_names": ["x"],
+                     "X_scaler": {}}, fh)   # unrecognized scaler
+    nested = tmp_path / "KN" / "SynthKN_MLP" / "model"
+    nested.mkdir(parents=True)
+    _write_fiesta_format_dir(str(nested), data)
+    got = load_fiesta_surrogate("SynthKN_MLP", str(tmp_path))
+    assert got.filters == FILTERS
+
+
+def test_cli_support_guard_on_preregistered_model(tmp_path):
+    """The trained-support guard fires even when the model was
+    registered by an earlier run in the same process (the resolution
+    path is skipped for known names)."""
+    rng = np.random.default_rng(25)
+    data = _synthetic_lightcurve_data(rng)
+    nested = tmp_path / "KN" / "SynthKN_MLP" / "model"
+    nested.mkdir(parents=True)
+    _write_fiesta_format_dir(str(nested), data)
+    from nmma_tpu.models.fiesta import (load_fiesta_surrogate,
+                                        make_fiesta_source_model)
+    make_fiesta_source_model(
+        "SynthKN_MLP", load_fiesta_surrogate("SynthKN_MLP", str(tmp_path)))
+
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.io import write_em_observations
+    truth = dict(log10_mej_dyn=-2.0, log10_mej_wind=-1.0,
+                 luminosity_distance=40.0, timeshift=0.0)
+    lc = create_light_curve_data(truth, "SynthKN_MLP", list(FILTERS),
+                                 tmin=0.3, tmax=12.0, n_tsteps=8, seed=3,
+                                 injection_error_budget=0.2)
+    lcfile = str(tmp_path / "inj.dat")
+    write_em_observations(lcfile, lc)
+    prior = tmp_path / "bad.prior"
+    prior.write_text(
+        "log10_mej_dyn = Uniform(minimum=-5.0, maximum=-1.1)\n"
+        "log10_mej_wind = Uniform(minimum=-1.9, maximum=-0.6)\n"
+        "luminosity_distance = 40.0\ntimeshift = 0.0\n")
+    from nmma_tpu.cli.lightcurve_analysis import main
+    with pytest.raises(ValueError, match="support"):
+        main(["--model", "SynthKN_MLP", "--prior", str(prior),
+              "--light-curve-data", lcfile, "--trigger-time", "0",
+              "--outdir", str(tmp_path / "out"), "--label", "x"])

@@ -28,7 +28,7 @@ def ifos():
 
 def test_band_construction_compresses():
     f = np.arange(25.0, 1024.0, 1.0 / 64.0)
-    starts, counts = build_bands(f, 64.0, chirp_mass_min=1.1)
+    starts, counts, decs = build_bands(f, 64.0, chirp_mass_min=1.1)
     assert len(starts) < len(f) / 5       # a real compression
     # the strides tile the grid exactly: every bin summed exactly once
     ends = starts + counts
@@ -37,6 +37,9 @@ def test_band_construction_compresses():
     assert counts.sum() == len(f)
     # high-frequency bands use the longest strides
     assert counts.max() > 10
+    # a band-edge leftover stride keeps its band's NOMINAL decimation
+    # (it governs the alias-safe window width), never a wider one
+    assert np.all(counts <= decs)
     assert remaining_duration(25.0, 1.1) > remaining_duration(100.0, 1.1)
 
 
