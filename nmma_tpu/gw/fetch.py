@@ -36,9 +36,11 @@ def gwosc_url(base_url=None) -> str:
 
 
 def _get(url, timeout=60.0):
-    import urllib.request
-    with urllib.request.urlopen(url, timeout=timeout) as resp:
-        return resp.read()
+    # shares the registry client's fetch, which verifies content-length —
+    # a truncated body cached into the strain dir would poison every
+    # later call (the file exists, so it is never re-fetched)
+    from ..registry import _fetch
+    return _fetch(url, timeout=timeout)
 
 
 def event_strain_catalog(event, base_url=None, version=None, timeout=60.0):
@@ -116,12 +118,19 @@ def _select_entry(catalog, detector, duration, sample_rate):
                and int(e.get("sampling_rate", -1)) == int(sample_rate)]
     if matched:
         return matched[0]
-    # fall back to the closest duration at the requested rate, then any
+    # fall back to the closest duration at the requested rate, then any —
+    # loudly: the 4096 s bulk files are hundreds of MB and 100x longer
+    # than the 32 s variant callers usually expect
     rate_ok = [e for e in candidates
                if int(e.get("sampling_rate", -1)) == int(sample_rate)]
     pool = rate_ok or candidates
-    return min(pool, key=lambda e: abs(int(e.get("duration", 0))
+    pick = min(pool, key=lambda e: abs(int(e.get("duration", 0))
                                        - int(duration)))
+    print(f"WARNING: no {duration}s/{sample_rate}Hz strain file for "
+          f"{detector}; falling back to the "
+          f"{pick.get('duration')}s/{pick.get('sampling_rate')}Hz "
+          f"variant", flush=True)
+    return pick
 
 
 def interferometers_from_gwosc(names, event, trigger_time,

@@ -115,8 +115,13 @@ def _struct_header(buf, pos, endian, version):
     return length, cls, inst, body
 
 
-def _parse_elements(cur, elements):
+def _parse_elements(cur, elements, version=8):
     """Decode one structure instance by walking its FrSE element list."""
+    # pointer instance width is version-dependent: v8 stores
+    # INT_2U class + INT_4U instance, v6 INT_2U + INT_2U (frame spec
+    # LIGO-T970130 §4.3.2) — decoding v6 pointers as 6 bytes desyncs
+    # every later field in the structure
+    inst_t = "INT_4U" if version >= 8 else "INT_2U"
     out = {}
     for name, type_str in elements:
         base, _, dim = type_str.partition("[")
@@ -126,7 +131,7 @@ def _parse_elements(cur, elements):
             dim = dim.rstrip("]").strip()
             count = int(dim) if dim.isdigit() else int(out.get(dim, 0))
         if base.startswith("PTR_STRUCT"):
-            vals = [(cur.prim("INT_2U"), cur.prim("INT_4U"))
+            vals = [(cur.prim("INT_2U"), cur.prim(inst_t))
                     for _ in range(count if count is not None else 1)]
         elif base == "STRING":
             vals = [cur.string()
@@ -152,12 +157,15 @@ def _decompress_vect(v, endian):
     payload = v.get("data", b"")
     if isinstance(payload, list):
         payload = payload[0]
-    byte_order = ">" if (compress & 256) else "<"
-    # the +256 flag marks data written on the opposite-endian machine;
-    # frame libraries byte-swap on read. The base code is mod 256.
+    # the +256 flag marks vect data written on the OPPOSITE-endian
+    # machine relative to the file's own byte order (frame libraries
+    # byte-swap such vects on read); without the flag the data follow
+    # the file header's endianness. The base code is mod 256.
     code = compress & 0xFF
-    if endian == ">" and not (compress & 256):
-        byte_order = ">"
+    if compress & 256:
+        byte_order = "<" if endian == ">" else ">"
+    else:
+        byte_order = endian
     dtype = np.dtype(byte_order + _VECT_DTYPES.get(vtype, "f8"))
     if code == 0:
         arr = np.frombuffer(payload, dtype=dtype, count=n_data)
@@ -168,7 +176,12 @@ def _decompress_vect(v, endian):
             rawbytes = gzip.decompress(payload)
         arr = np.frombuffer(rawbytes, dtype=dtype, count=n_data)
         if code == 3:
-            arr = np.cumsum(arr.astype(np.int64)).astype(dtype.base)
+            # differentiate-then-gzip: integrate back in a type that
+            # preserves the stored differences (int64 for integer vects;
+            # float vects must accumulate as float — an int cast zeroes
+            # sub-unity strain differences)
+            acc = np.float64 if dtype.base.kind in "fc" else np.int64
+            arr = np.cumsum(arr.astype(acc)).astype(dtype.base)
     else:
         raise NotImplementedError(
             f"FrVect compression mode {code} (zero-suppress family) is "
@@ -205,13 +218,13 @@ def _scan(path):
             break
         cur = _Cursor(buf, body, pos + length, endian)
         if cls == 1:                                   # FrSH
-            sh = _parse_elements(cur, dicts[1]["elements"])
+            sh = _parse_elements(cur, dicts[1]["elements"], version)
             pending_sh = sh
             dicts.setdefault(int(sh.get("class", 0)),
                              {"name": sh.get("name", "?"), "elements": []})
             dicts[int(sh.get("class", 0))]["name"] = sh.get("name", "?")
         elif cls == 2 and pending_sh is not None:      # FrSE
-            se = _parse_elements(cur, dicts[2]["elements"])
+            se = _parse_elements(cur, dicts[2]["elements"], version)
             target = int(pending_sh.get("class", 0))
             if se.get("name") not in ("chkSum",):
                 dicts[target]["elements"].append(
@@ -220,7 +233,8 @@ def _scan(path):
             spec = dicts.get(cls)
             if spec is not None and spec["elements"]:
                 try:
-                    parsed = _parse_elements(cur, spec["elements"])
+                    parsed = _parse_elements(cur, spec["elements"],
+                                             version)
                 except (EOFError, _struct.error):
                     parsed = {}
                 instances[(cls, inst)] = parsed
@@ -478,7 +492,16 @@ def write_gwf(path, channels, name="nmma_tpu", run=0, compress="gzip"):
             "dx": [1.0 / s.sample_rate], "startX": [0.0],
             "unitX": ["s"], "unitY": "strain", "next": (0, 0)})
         vect_ptrs.append((_W_CLASSES["FrVect"], vect_inst))
+    # FrProcData instance numbers are sequential from the writer's
+    # per-class counter, so the linked list can be chained predictively:
+    # spec-compliant readers (frameCPP/gwpy) walk FrameH.procData ->
+    # next to find EVERY channel — without the chain only the first
+    # channel of a multi-channel file is reachable
+    proc_cls = _W_CLASSES["FrProcData"]
+    first_proc = w.counters.get(proc_cls, 0)
+    n_proc = len(series)
     for i, (ch_name, s) in enumerate(series.items()):
+        nxt = (proc_cls, first_proc + i + 1) if i < n_proc - 1 else (0, 0)
         proc_inst = w.instance("FrProcData", {
             "name": ch_name, "comment": "written by nmma_tpu",
             "type": 1, "subType": 0, "timeOffset": 0.0,
@@ -487,10 +510,10 @@ def write_gwf(path, channels, name="nmma_tpu", run=0, compress="gzip"):
             "auxParam": [], "auxParamNames": [],
             "data": vect_ptrs[i], "aux": (0, 0), "table": (0, 0),
             "history": (0, 0),
-            "next": (0, 0)})
-        proc_ptrs.append((_W_CLASSES["FrProcData"], proc_inst))
-    # chain the FrProcData next pointers is unnecessary for our reader
-    # (it scans all instances), but real readers walk FrameH.procData:
+            "next": nxt})
+        proc_ptrs.append((proc_cls, proc_inst))
+    # real readers walk FrameH.procData -> FrProcData.next (chained
+    # above); our reader additionally scans all instances:
     frame_fields = {
         "name": name, "run": run, "frame": 0, "dataQuality": 0,
         "GTimeS": gps_s, "GTimeN": gps_n, "dt": duration, "ULeapS": 18,

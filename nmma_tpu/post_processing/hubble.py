@@ -14,7 +14,10 @@ from __future__ import annotations
 import numpy as np
 
 from ..cosmology import get_cosmology
-from .kde import GaussianKDE
+
+# numpy 2 renamed trapz -> trapezoid; support both (JAX/TPU stacks still
+# commonly pin numpy < 2)
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
 
 
 def hubble_posterior_from_distance_samples(distance_samples, redshift,
@@ -35,16 +38,21 @@ def combine_hubble_posteriors(event_h0_samples, h0_grid=None,
     """
     if h0_grid is None:
         h0_grid = np.linspace(20.0, 140.0, 601)
+    event_h0_samples = list(event_h0_samples)
     log_pdf = np.zeros_like(h0_grid)
     for samples in event_h0_samples:
-        kde = GaussianKDE(np.asarray(samples))
-        log_pdf += np.asarray([float(kde.logpdf(h)) for h in h0_grid])
-    if selection_correction:
-        # observable volume scales as d^3 ~ H0^-3: divide it out
-        log_pdf += 3.0 * np.log(h0_grid)
+        # vectorized KDE over the whole grid (a per-point loop costs one
+        # dispatch per grid node)
+        log_pdf += _H0KDE(np.asarray(samples)).logpdf_batch(h0_grid)
+    if selection_correction and len(event_h0_samples) > 1:
+        # observable volume scales as d^3 ~ H0^-3: divide it out, once
+        # per event PAST THE FIRST — the same convention as the
+        # cumulative trend machinery below and the reference
+        # (generate_logprob, hubble_estimates.py:18-28)
+        log_pdf += 3.0 * (len(event_h0_samples) - 1) * np.log(h0_grid)
     log_pdf -= log_pdf.max()
     pdf = np.exp(log_pdf)
-    pdf /= np.trapezoid(pdf, h0_grid)
+    pdf /= _trapezoid(pdf, h0_grid)
 
     cdf = np.concatenate([[0.0], np.cumsum(
         0.5 * (pdf[1:] + pdf[:-1]) * np.diff(h0_grid))])

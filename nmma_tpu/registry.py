@@ -195,12 +195,17 @@ def download_model(model_name, filters=None, models_home=None,
     os.makedirs(os.path.join(home, model_name), exist_ok=True)
 
     known = list(info.get("filters", []))
-    synonyms = [f.replace("_", ":") for f in known]
-    all_filters = set(known + synonyms)
+    # the registry stores underscore filter names (ps1__g); colon-form
+    # requests (ps1::g) are accepted AND mapped back so URLs/filepaths
+    # use the registry's spelling — validating the synonym but building
+    # a colon URL 404s every such filter
+    to_registry = {f.replace("_", ":"): f for f in known}
+    all_filters = set(known) | set(to_registry)
     if not filters:
         filters = known
     skipped = [f for f in filters if f in SKIP_FILTERS]
-    filters = [f for f in filters if f not in SKIP_FILTERS]
+    filters = [to_registry.get(f, f) for f in filters
+               if f not in SKIP_FILTERS]
     missing_filters = sorted(set(filters) - all_filters)
     if missing_filters:
         where = "local models list" if used_local else "registry models list"

@@ -105,3 +105,59 @@ def test_gwf_strain_through_likelihood_setup(tmp_path):
         f_min=20.0, f_max=512.0)
     assert np.all(np.isfinite(ifo.psd)) and np.all(ifo.psd > 0)
     assert ifo.duration == pytest.approx(4.0)
+
+
+def test_decompress_differentiated_gzip_float():
+    """FrVect mode 3 with FLOAT data: sub-unity differences must
+    accumulate as float (an int cast zeroes them)."""
+    import zlib
+    rng = np.random.default_rng(0)
+    values = np.cumsum(rng.normal(0.0, 0.3, 64)).astype("<f8")
+    diffs = np.diff(np.concatenate([[0.0], values])).astype("<f8")
+    vect = {"compress": 3, "type": 2, "nData": 64,
+            "data": zlib.compress(diffs.tobytes())}
+    out = _decompress_vect(vect, "<")
+    np.testing.assert_allclose(out, values, rtol=1e-12)
+
+
+def test_decompress_opposite_endian_flag():
+    """+256 means opposite of the FILE's endianness, both directions."""
+    vals = np.array([1.5, -2.25, 3.0], dtype="f8")
+    # little-endian file, flagged vect -> big-endian data
+    vect = {"compress": 256, "type": 2, "nData": 3,
+            "data": vals.astype(">f8").tobytes()}
+    np.testing.assert_array_equal(_decompress_vect(vect, "<"), vals)
+    # big-endian file, flagged vect -> little-endian data
+    vect = {"compress": 256, "type": 2, "nData": 3,
+            "data": vals.astype("<f8").tobytes()}
+    np.testing.assert_array_equal(_decompress_vect(vect, ">"), vals)
+    # big-endian file, unflagged -> big-endian data
+    vect = {"compress": 0, "type": 2, "nData": 3,
+            "data": vals.astype(">f8").tobytes()}
+    np.testing.assert_array_equal(_decompress_vect(vect, ">"), vals)
+
+
+def test_writer_chains_procdata_next(tmp_path):
+    """Spec-compliant readers walk FrameH.procData -> next; every
+    channel of a multi-channel file must be reachable along the chain."""
+    from nmma_tpu.gw.gwf import _scan, write_gwf
+    t0, sr, n = 1000000000.0, 256.0, 512
+    series = {f"X1:CH{i}": StrainSeries(
+        data=np.sin(np.arange(n) * (0.01 + 0.003 * i)),
+        t0=t0, sample_rate=sr)
+        for i in range(3)}
+    path = str(tmp_path / "multi.gwf")
+    write_gwf(path, series)
+    version, endian, dicts, instances, _ = _scan(path)
+    by_name = {v["name"]: k for k, v in dicts.items()}
+    proc_cls = by_name["FrProcData"]
+    frameh = next(v for (c, _), v in instances.items()
+                  if c == by_name["FrameH"])
+    # walk the chain from FrameH.procData
+    seen = []
+    ptr = frameh["procData"]
+    while ptr and ptr[0] != 0:
+        node = instances[(ptr[0], ptr[1])]
+        seen.append(node["name"])
+        ptr = node["next"]
+    assert sorted(seen) == sorted(series.keys())
