@@ -186,6 +186,14 @@ def _scaler_affine(scaler):
         return (np.asarray(scaler.mean_, dtype=np.float64),
                 np.asarray(scaler.scale_, dtype=np.float64))
     if hasattr(scaler, "data_min_"):        # MinMaxScaler
+        # use the fitted min_/scale_ attributes: transform(x) is
+        # x*scale_ + min_, i.e. (x - loc)/scale with loc = -min_/scale_
+        # and scale = 1/scale_ — (x - data_min_)/(data_max_ - data_min_)
+        # is ONLY correct for the default feature_range=(0, 1)
+        if hasattr(scaler, "scale_") and hasattr(scaler, "min_"):
+            sc = np.asarray(scaler.scale_, dtype=np.float64)
+            mn = np.asarray(scaler.min_, dtype=np.float64)
+            return -mn / sc, 1.0 / sc
         scale = np.asarray(scaler.data_max_ - scaler.data_min_,
                            dtype=np.float64)
         return np.asarray(scaler.data_min_, dtype=np.float64), scale

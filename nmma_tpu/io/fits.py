@@ -37,21 +37,36 @@ def _read_header(fh):
                 break
             if "=" not in card[8:10]:
                 continue
-            val = card[10:].split("/")[0].strip()
-            if val.startswith("'"):
-                val = val[1:val.rindex("'")].strip()
-            elif val == "T":
-                val = True
-            elif val == "F":
-                val = False
+            s = card[10:].strip()
+            if s.startswith("'"):
+                # unquote BEFORE stripping the '/' comment: a legal
+                # quoted value may contain a slash ('1 / sr'); doubled
+                # quotes escape a literal quote
+                buf, j = [], 1
+                while j < len(s):
+                    if s[j] == "'":
+                        if j + 1 < len(s) and s[j + 1] == "'":
+                            buf.append("'")
+                            j += 2
+                            continue
+                        break
+                    buf.append(s[j])
+                    j += 1
+                val = "".join(buf).strip()
             else:
-                try:
-                    val = int(val)
-                except ValueError:
+                val = s.split("/")[0].strip()
+                if val == "T":
+                    val = True
+                elif val == "F":
+                    val = False
+                else:
                     try:
-                        val = float(val)
+                        val = int(val)
                     except ValueError:
-                        pass
+                        try:
+                            val = float(val)
+                        except ValueError:
+                            pass
             cards[key] = val
         if done:
             break
@@ -88,7 +103,7 @@ def read_bintable(path, hdu=1):
         n_rows = int(header["NAXIS2"])
         row_bytes = int(header["NAXIS1"])
         n_fields = int(header["TFIELDS"])
-        names, dtypes, repeats = [], [], []
+        names, dtypes, repeats, codes = [], [], [], []
         for i in range(1, n_fields + 1):
             tform = str(header[f"TFORM{i}"]).strip()
             j = 0
@@ -102,6 +117,7 @@ def read_bintable(path, hdu=1):
             names.append(str(header.get(f"TTYPE{i}", f"col{i}")).strip())
             dtypes.append(dt)
             repeats.append(repeat)
+            codes.append(code)
 
         rec_dtype = np.dtype({
             "names": names,
@@ -113,9 +129,15 @@ def read_bintable(path, hdu=1):
                 f"NAXIS1 {row_bytes}")
         raw = fh.read(n_rows * row_bytes)
         rec = np.frombuffer(raw, dtype=rec_dtype, count=n_rows)
-        cols = {n: np.ascontiguousarray(
-            rec[n].astype(rec[n].dtype.newbyteorder("=")))
-            for n in names}
+        cols = {}
+        for n, tform_code in zip(names, codes):
+            arr = np.ascontiguousarray(
+                rec[n].astype(rec[n].dtype.newbyteorder("=")))
+            if tform_code == "L":
+                # FITS logical stores ASCII 'T'(84)/'F'(70): both bytes
+                # are truthy as raw u1 — decode to real booleans
+                arr = arr == ord("T")
+            cols[n] = arr
         return cols, header
 
 
@@ -273,11 +295,57 @@ def ang2pix_nest(nside, theta, phi):
     return face * nside * nside + _interleave(ix, iy)
 
 
-def skymap_pixel_index(ra_deg, dec_deg, nside):
-    """Nested pixel index for (RA, Dec) in degrees (utils.py:814-837)."""
+def ang2pix_ring(nside, theta, phi):
+    """HEALPix RING pixel for colatitude theta / longitude phi [rad].
+
+    Standard HEALPix geometry (Gorski et al. 2005, the ang2pix_ring
+    algorithm); matches healpy.ang2pix(nside, theta, phi, nest=False).
+    """
+    theta = np.asarray(theta, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    z = np.cos(theta)
+    za = np.abs(z)
+    tt = np.mod(phi, 2.0 * np.pi) / (0.5 * np.pi)          # [0, 4)
+
+    # equatorial belt |z| <= 2/3
+    temp1 = nside * (0.5 + tt)
+    temp2 = nside * z * 0.75
+    jp = np.floor(temp1 - temp2).astype(np.int64)
+    jm = np.floor(temp1 + temp2).astype(np.int64)
+    ir = nside + 1 + jp - jm
+    kshift = 1 - (ir & 1)
+    ip = np.mod((jp + jm - nside + kshift + 1) // 2, 4 * nside)
+    pix_eq = 2 * nside * (nside - 1) + (ir - 1) * 4 * nside + ip
+
+    # polar caps
+    tp = tt - np.floor(tt)
+    tmp = nside * np.sqrt(np.maximum(3.0 * (1.0 - za), 0.0))
+    jp_p = np.floor(tp * tmp).astype(np.int64)
+    jm_p = np.floor((1.0 - tp) * tmp).astype(np.int64)
+    ir_p = jp_p + jm_p + 1
+    ip_p = np.mod(np.floor(tt * ir_p).astype(np.int64), 4 * ir_p)
+    pix_north = 2 * ir_p * (ir_p - 1) + ip_p
+    pix_south = 12 * nside * nside - 2 * ir_p * (ir_p + 1) + ip_p
+
+    return np.where(za <= 2.0 / 3.0, pix_eq,
+                    np.where(z > 0, pix_north, pix_south))
+
+
+def skymap_pixel_index(ra_deg, dec_deg, nside, ordering="NESTED"):
+    """Pixel index for (RA, Dec) in degrees (utils.py:814-837).
+
+    ``ordering`` follows the FITS header keyword: NESTED (default) or
+    RING — indexing a RING map with a nested index reads a different
+    sky location entirely.
+    """
     theta = np.radians(90.0 - np.asarray(dec_deg, dtype=np.float64))
     phi = np.radians(np.asarray(ra_deg, dtype=np.float64))
-    return ang2pix_nest(nside, theta, phi)
+    order = str(ordering).strip().upper()
+    if order.startswith("RING"):
+        return ang2pix_ring(nside, theta, phi)
+    if order.startswith("NEST"):
+        return ang2pix_nest(nside, theta, phi)
+    raise ValueError(f"unknown HEALPix ORDERING {ordering!r}")
 
 
 def detection_limit_from_m4opt_fits(path, ra_deg, dec_deg):
@@ -296,5 +364,6 @@ def detection_limit_from_m4opt_fits(path, ra_deg, dec_deg):
     nside = int(header.get("NSIDE", 0))
     if nside <= 0:
         raise ValueError(f"missing NSIDE in {path!r}")
-    idx = skymap_pixel_index(ra_deg, dec_deg, nside)
+    idx = skymap_pixel_index(ra_deg, dec_deg, nside,
+                             ordering=header.get("ORDERING", "NESTED"))
     return float(limmag[idx])

@@ -123,8 +123,8 @@ def augment_lightcurves(rng, lcs, max_shift=4, mag_jitter=0.1):
 def pretrain_similarity_embedding(lightcurves, num_dim=7, num_dim_final=10,
                                   n_epochs=100, batch_size=128,
                                   learning_rate=1e-3, max_shift=4,
-                                  mag_jitter=0.1, wt_repr=1.0, wt_cov=1.0,
-                                  wt_std=1.0, seed=0, verbose=True):
+                                  mag_jitter=0.1, wt_repr=25.0, wt_cov=1.0,
+                                  wt_std=25.0, seed=0, verbose=True):
     """Self-supervised VICReg pre-training over simulated light curves.
 
     Counterpart of the reference's train/val epoch loops
@@ -132,6 +132,15 @@ def pretrain_similarity_embedding(lightcurves, num_dim=7, num_dim_final=10,
     ``(embedder, params, history)`` where
     ``embedder.apply(params, lc)[1]`` is the frozen representation; feed
     it to ``train_flow_posterior(..., raw_context=True)``.
+
+    Default loss weights are the VICReg paper's (Bardes+22 §4.2:
+    invariance 25, variance 25, covariance 1) rather than the reference
+    loss function's (1, 1, 1) defaults: with equal weights the optimizer
+    prefers the collapsed basin — zero both the invariance and variance
+    terms and eat the constant hinge penalty — once trained past a few
+    dataset passes (measured on the test-suite toy problem; the
+    reference never calls its epoch loop in-package, so its defaults
+    are untrained-against).
     """
     lcs = np.asarray(lightcurves, dtype=np.float32)
     n = len(lcs)
@@ -166,25 +175,31 @@ def pretrain_similarity_embedding(lightcurves, num_dim=7, num_dim_final=10,
             step, (params, opt_state), (aug_block, orig_block))
         return params, opt_state, losses
 
-    # one augmented view per epoch, epochs batched into scan blocks (one
-    # dispatch each - per-batch dispatch is a remote round trip on axon)
-    block = max(1, n_epochs // (5 if verbose else 1))
+    # one epoch = one full shuffled pass over the dataset in minibatches
+    # (the reference trains full-dataset epoch loops, embedding.py:181-284
+    # — a single random minibatch per epoch would make total training
+    # volume independent of the dataset size). Steps are grouped into
+    # scan blocks of bounded size, one dispatch each — per-batch dispatch
+    # is a remote round trip on axon.
+    steps_per_epoch = max(1, n // bsz)
+    step_indices = np.concatenate([
+        rng.permutation(n)[:steps_per_epoch * bsz]
+        .reshape(steps_per_epoch, bsz) for _ in range(n_epochs)])  # [S, B]
+    block = 64
     history = []
-    done = 0
-    while done < n_epochs:
-        k = min(block, n_epochs - done)
-        idx = np.stack([rng.choice(n, size=bsz, replace=False)
-                        for _ in range(k)])
+    for s0 in range(0, len(step_indices), block):
+        idx = step_indices[s0:s0 + block]
         orig_block = lcs[idx]                              # [k, B, F, T]
         aug_block = np.stack([
             augment_lightcurves(rng, orig_block[j], max_shift=max_shift,
-                                mag_jitter=mag_jitter) for j in range(k)])
+                                mag_jitter=mag_jitter)
+            for j in range(len(idx))])
         params, opt_state, losses = run_block(
             params, opt_state, jnp.asarray(aug_block),
             jnp.asarray(orig_block))
         history.extend(np.asarray(losses).tolist())
-        done += k
         if verbose:
-            print(f"vicreg epoch {done:5d} loss {history[-1]:.4f}")
+            print(f"vicreg epoch {min(s0 + block, len(step_indices)) // steps_per_epoch:5d}"
+                  f"/{n_epochs} loss {history[-1]:.4f}")
 
     return embedder, params, np.asarray(history)

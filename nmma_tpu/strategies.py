@@ -209,15 +209,25 @@ class ZTFObservingModel:
         mjd, bands, is_too = self.simulate_epochs(rng, t_last, trigger_time,
                                                   too=too)
         # Determinism discipline (round-2 VERDICT weak #9): the RNG draw
-        # sequence must depend only on (seed, epochs) — never on model
-        # magnitude values or on set/hash iteration order.  Limiting mags
-        # are drawn for every epoch up-front in global epoch order, and
-        # photometric uncertainties come from a dedicated child stream so
-        # a detection<->non-detection flip cannot shift later draws.
-        lims = np.array([
-            self._limiting_mag(rng, bands[k], too if is_too[k] else None)
-            for k in range(len(mjd))])
-        err_rng = np.random.default_rng(int(rng.integers(0, 2**63)))
+        # sequence must depend only on (seed, epochs, static flags) —
+        # never on model magnitude values or on set/hash iteration order.
+        # Limiting mags are drawn for every epoch up-front in global
+        # epoch order, and photometric uncertainties come from a
+        # dedicated child stream so a detection<->non-detection flip
+        # cannot shift later draws.
+        #
+        # Limit-censoring and uncertainty redraws BOTH ride the
+        # ``uncertainties`` flag, matching the reference: with
+        # ztf_sampling only, adjust_data_for_ztf passes the raw
+        # interpolated mags through untouched (the whole censoring block
+        # sits under ``if ztf_uncertainties``,
+        # lightcurve_generation.py:1073-1087).
+        if uncertainties:
+            lims = np.array([
+                self._limiting_mag(rng, bands[k],
+                                   too if is_too[k] else None)
+                for k in range(len(mjd))])
+            err_rng = np.random.default_rng(int(rng.integers(0, 2**63)))
         out = {}
         for filt in sorted(set(bands)):
             if filt not in filters or filt not in data:
@@ -231,6 +241,10 @@ class ZTFObservingModel:
             errs = np.interp(times, np.asarray(src["time"]),
                              np.asarray(src["mag_error"]),
                              left=np.inf, right=np.inf)
+            if not uncertainties:
+                out[filt] = {"time": times, "mag": mags,
+                             "mag_error": errs}
+                continue
             lims_f = lims[sel]
             for k in range(len(times)):
                 lim = lims_f[k]
@@ -241,7 +255,7 @@ class ZTFObservingModel:
                 if mags[k] > lim:
                     mags[k] = lim
                     errs[k] = np.inf
-                elif uncertainties and np.isfinite(errs[k]):
+                elif np.isfinite(errs[k]):
                     errs[k] = err_draw
             out[filt] = {"time": times, "mag": mags, "mag_error": errs}
         return out

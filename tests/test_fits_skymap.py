@@ -127,3 +127,80 @@ def test_m4opt_detection_limit_map(tmp_path):
     ])
     np.testing.assert_allclose(
         np.asarray(ana.likelihood.detection_limit).ravel(), 23.5)
+
+
+def test_ang2pix_ring_geometry():
+    """RING indexing: matches NESTED at nside=1 (identical layouts),
+    covers every pixel uniformly, and orders pixels by z-band."""
+    from nmma_tpu.io.fits import ang2pix_nest, ang2pix_ring
+    rng = np.random.default_rng(0)
+    n = 100000
+    z = rng.uniform(-1, 1, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    theta = np.arccos(z)
+    np.testing.assert_array_equal(ang2pix_ring(1, theta, phi),
+                                  ang2pix_nest(1, theta, phi))
+    pix = ang2pix_ring(8, theta, phi)
+    counts = np.bincount(pix, minlength=12 * 64)
+    assert (counts > 0).all()
+    assert counts.std() / counts.mean() < 0.15   # equal-area pixels
+    # pixels are numbered north -> south along iso-latitude rings
+    ring_of = np.floor_interp = None
+    top = pix[z > 0.99]
+    bot = pix[z < -0.99]
+    assert top.max() < 12 * 64 * 0.1
+    assert bot.min() > 12 * 64 * 0.9
+
+
+def test_header_quoted_string_with_slash(tmp_path):
+    """A quoted header value containing '/' must not be truncated at the
+    comment separator; doubled quotes unescape."""
+    from nmma_tpu.io.fits import _read_header
+    card = "TUNIT1  = '1 / sr''s'         / comment here"
+    block = (card.ljust(80) + "END".ljust(80)).ljust(2880).encode()
+    import io
+    cards = _read_header(io.BytesIO(block))
+    assert cards["TUNIT1"] == "1 / sr's"
+
+
+def test_logical_column_decodes_booleans(tmp_path):
+    """TFORM 'L' columns come back as real booleans ('F' byte 70 is
+    truthy as a raw u1)."""
+    from nmma_tpu.io.fits import read_bintable, write_bintable
+    path = str(tmp_path / "flags.fits")
+    # write_bintable has no L support; craft the table manually from a
+    # D column file then patch TFORM/data
+    vals = np.array([1.0, 0.0, 1.0], dtype=">f8")
+    write_bintable(path, {"X": vals}, {})
+    raw = bytearray(open(path, "rb").read())
+    # find the TFORM card and the 24-byte data area
+    i = raw.find(b"TFORM1  = '1D")
+    assert i > 0
+    raw[i:i + 80] = ("TFORM1  = '1L      '".ljust(80)).encode()
+    j = raw.find(b"NAXIS1  =")
+    raw[j:j + 80] = ("NAXIS1  =                    1".ljust(80)).encode()
+    # replace the 3*8-byte doubles with 3 logical bytes T, F, T
+    data_off = len(raw) - 2880
+    raw[data_off:data_off + 2880] = (b"TFT" + b"\x00" * 2877)
+    open(path, "wb").write(bytes(raw))
+    cols, header = read_bintable(path)
+    np.testing.assert_array_equal(cols["X"], [True, False, True])
+    assert cols["X"].dtype == np.bool_
+
+
+def test_m4opt_ring_ordering(tmp_path):
+    """detection_limit_from_m4opt_fits honors ORDERING=RING."""
+    from nmma_tpu.io.fits import (ang2pix_ring, detection_limit_from_m4opt_fits,
+                                  write_bintable)
+    nside = 8
+    npix = 12 * nside * nside
+    limmag = np.linspace(18.0, 24.0, npix)
+    ra, dec = 150.0, 30.0
+    path = str(tmp_path / "limmag_ring.fits")
+    write_bintable(path, {"LIMMAG": limmag.astype(">f8")},
+                   {"NSIDE": nside, "ORDERING": "RING"})
+    theta = np.radians(90.0 - dec)
+    phi = np.radians(ra)
+    expect = limmag[int(ang2pix_ring(nside, theta, phi))]
+    got = detection_limit_from_m4opt_fits(path, ra, dec)
+    assert got == expect

@@ -155,3 +155,21 @@ def test_sklearn_ingestion_parity():
     np.testing.assert_allclose(float(masses[-1]), want_mtov, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(r_j), want_r, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(lam_j), want_lam, rtol=1e-3)
+
+
+def test_minmax_scaler_nondefault_feature_range():
+    """MinMaxScaler(feature_range=(-1, 1)) must reconstruct via the
+    fitted min_/scale_ attributes — (x - data_min_)/(data_max_ -
+    data_min_) is only the (0, 1) special case."""
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.preprocessing import MinMaxScaler
+
+    from nmma_tpu.eos.lec import _scaler_affine
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-3, 5, (200, 4))
+    for fr in ((0.0, 1.0), (-1.0, 1.0), (2.0, 7.0)):
+        sc = MinMaxScaler(feature_range=fr).fit(x)
+        loc, scale = _scaler_affine(sc)
+        np.testing.assert_allclose((x - loc) / scale, sc.transform(x),
+                                   rtol=1e-10, atol=1e-12)

@@ -103,3 +103,35 @@ def test_posterior_columns():
     for k in ("chi_eff", "lambda_tilde", "mass_ratio", "chirp_mass"):
         assert k in out and len(np.asarray(out[k])) == 50
     assert np.all(np.asarray(out["lambda_tilde"]) > 0)
+
+
+def test_ztf_apply_without_uncertainties_passes_raw_mags():
+    """ztf_sampling only (uncertainties off): epochs resample the model
+    but mags/errors pass through UNCENSORED — the reference applies
+    limit-censoring only under ztf_uncertainties
+    (lightcurve_generation.py:1073-1087)."""
+    from nmma_tpu.strategies import ZTFObservingModel
+    try:
+        model = ZTFObservingModel()
+    except FileNotFoundError:
+        import pytest
+        pytest.skip("ztf observing artifact absent")
+    t = np.linspace(0.1, 10.0, 60)
+    data = {f: {"time": 59000.0 + t, "mag": np.full_like(t, 30.0),
+                "mag_error": np.full_like(t, 0.1)}
+            for f in ("ztfg", "ztfr", "ztfi")}
+    rng = np.random.default_rng(0)
+    out = model.apply(data, ["ztfg", "ztfr", "ztfi"], rng, 10.0,
+                      trigger_time=59000.0, uncertainties=False)
+    # mag 30 is far below any ZTF limit, yet must NOT be censored
+    for f, d in out.items():
+        inside = np.isfinite(d["mag"])
+        assert np.all(d["mag"][inside] == 30.0)
+        assert np.all(d["mag_error"][inside] == 0.1)
+    # with uncertainties on, the same epochs become non-detections
+    out2 = model.apply(data, ["ztfg", "ztfr", "ztfi"],
+                       np.random.default_rng(0), 10.0,
+                       trigger_time=59000.0, uncertainties=True)
+    any_censored = any(np.isinf(d["mag_error"][np.isfinite(d["mag"])]).any()
+                       for d in out2.values() if len(d["mag"]))
+    assert any_censored
