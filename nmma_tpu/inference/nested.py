@@ -112,6 +112,15 @@ class NestedSampler:
     logl_fn : callable
         Batched likelihood ``u_batch [B, ndim] -> logl [B]`` **in the unit
         cube** (the caller composes prior transform + model + constraints).
+
+        Sentinel contract: invalid points must return exactly ``-1e30``
+        (the value used by the EM/GW likelihoods' nan/constraint
+        discipline). Finite log-likelihoods must stay above ``-9.9e29`` —
+        anything at or below that is treated as the invalid sentinel
+        when deriving the live-contraction threshold, so a caller whose
+        genuine values reach that range would silently disable the
+        constrained walk. In f32 this bound is unreachable by any real
+        chi-squared, so the contract only matters for exotic callers.
     ndim : int
     config : NestedSamplerConfig
     """
@@ -196,6 +205,16 @@ class NestedSampler:
         # so the initial phase mixes as a prior random walk
         thresh_eff = jnp.where(threshold <= NEG_INF * 0.99, -jnp.inf,
                                threshold)
+        # likelihood-plateau guard: when NO live point strictly exceeds
+        # the threshold (ties over a constant-logL region, e.g. fully
+        # limit-censored data), a strict '>' acceptance would reject
+        # every proposal and degenerate the live set onto one point —
+        # fall back to '>=' for that iteration (volume weighting stays
+        # the standard approximation; cf. dynesty's plateau treatment,
+        # Fowlie et al. 2021)
+        plateau = ~jnp.any(logl_live > threshold)
+        thresh_eff = jnp.where(plateau, jnp.nextafter(thresh_eff, -jnp.inf),
+                               thresh_eff)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -283,6 +302,11 @@ class NestedSampler:
         key, k_start, k_walk = jax.random.split(state.key, 3)
         draws = jax.random.randint(k_start, (3, n_k), 0, cfg.nlive)
         alive = state.logl_live > threshold
+        # plateau guard (see _replace_batch): with ties at the threshold
+        # and nothing strictly above, start chains from the tied set
+        # instead of collapsing every chain onto the single argmax point
+        alive = jnp.where(jnp.any(alive), alive,
+                          state.logl_live >= threshold)
         best = jnp.argmax(state.logl_live)
         start = jnp.full((n_k,), best)
         for attempt in (2, 1, 0):
@@ -325,7 +349,6 @@ class NestedSampler:
             checkpoint_path=None, resume=False) -> NestedSamplerResult:
         cfg = self.config
         dead_u, dead_logl, dead_logw, dead_logx = [], [], [], []
-        t_last_ckpt = time.time()
 
         # preemption handling: SIGTERM/SIGINT/SIGUSR1 -> checkpoint + exit
         # (reference signal discipline, nmma/core/mpi_setup.py:639-649)
@@ -352,6 +375,23 @@ class NestedSampler:
         if state is None:
             state = self.init_state(key)
 
+        try:
+            return self._run_loop(state, dead_u, dead_logl, dead_logw,
+                                  dead_logx, checkpoint_path, interrupted,
+                                  verbose)
+        finally:
+            # restore the original handlers even when the loop raises
+            # (a leaked no-op handler silently swallows later Ctrl-C in
+            # the same process)
+            if old_handlers:
+                import signal
+                for sig, handler in old_handlers.items():
+                    signal.signal(sig, handler)
+
+    def _run_loop(self, state, dead_u, dead_logl, dead_logw, dead_logx,
+                  checkpoint_path, interrupted, verbose):
+        cfg = self.config
+        t_last_ckpt = time.time()
         t_run0 = time.time()
         cur_it = int(jax.device_get(state.it))
         ncall_0 = int(jax.device_get(state.n_call))
@@ -405,10 +445,6 @@ class NestedSampler:
             if cur_it >= cfg.max_iter:
                 break
 
-        if old_handlers:
-            import signal
-            for sig, handler in old_handlers.items():
-                signal.signal(sig, handler)
         return self._finalise(state, dead_u, dead_logl, dead_logw, dead_logx)
 
     # ------------------------------------------------------------------

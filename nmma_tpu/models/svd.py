@@ -97,6 +97,12 @@ class _SVDFastEval:
         # trace would be staged as tracers and leak through the cache
         self.param_mins = np.asarray(svd.param_mins, dtype=np.float32)
         self.param_maxs = np.asarray(svd.param_maxs, dtype=np.float32)
+        # zero-span guard: a parameter constant across the training grid
+        # (e.g. LANL KNtheta=0) must normalize to 0, not 0/0 = NaN —
+        # mirrors training.svd.normalize_params
+        self._p_span = np.where(self.param_maxs > self.param_mins,
+                                self.param_maxs - self.param_mins,
+                                np.float32(1.0))
         self.parameter_names = svd.parameter_names
         self.w1_flat = np.ascontiguousarray(
             svd.w1.transpose(1, 0, 2)).reshape(p, f * h).astype(np.float32)
@@ -237,7 +243,7 @@ class _SVDFastEval:
     def __call__(self, params, t_days):
         theta = jnp.stack([jnp.asarray(params[p])
                            for p in self.parameter_names])
-        x = (theta - self.param_mins) / (self.param_maxs - self.param_mins)
+        x = (theta - self.param_mins) / self._p_span
         # Three output-operator forms with identical math:
         #  - "dense": one [F*H, F*Q] block-diagonal matmul. Wins at small
         #    H (one big MXU op vs F launch-bound slivers; measured ~30x
@@ -294,7 +300,9 @@ def svd_surrogate_mags(svd: SVDModelData, params, t_days, mag_ncoeff=None):
         pass
 
     theta = jnp.stack([jnp.asarray(params[p]) for p in svd.parameter_names])
-    x = (theta - svd.param_mins) / (svd.param_maxs - svd.param_mins)  # [P]
+    p_span = np.where(svd.param_maxs > svd.param_mins,
+                      svd.param_maxs - svd.param_mins, 1.0)
+    x = (theta - svd.param_mins) / p_span                             # [P]
 
     n_c = svd.n_coeff if mag_ncoeff is None else min(mag_ncoeff, svd.n_coeff)
     w2 = svd.w2[..., :n_c]

@@ -96,21 +96,25 @@ def fit_gp_coefficients(x, coeffs, n_steps=400, learning_rate=0.05,
         updates, state = opt.update(grads, state)
         return (optax.apply_updates(params, updates), state), loss
 
-    # scan a block of steps per dispatch (remote-backend round trips)
+    # scan a block of steps per dispatch (remote-backend round trips);
+    # the final block runs the exact remainder so the step count matches
+    # n_steps exactly
+    import functools
     block = max(1, n_steps // (5 if verbose else 1))
 
-    @jax.jit
-    def run_block(params, state):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run_block(params, state, length):
         (params, state), losses = jax.lax.scan(step, (params, state), None,
-                                               length=block)
+                                               length=length)
         return params, state, losses[-1]
 
     done = 0
     while done < n_steps:
-        params, state, loss = run_block(params, state)
-        done += block
+        k = min(block, n_steps - done)
+        params, state, loss = run_block(params, state, k)
+        done += k
         if verbose:
-            print(f"gp step {min(done, n_steps):4d} nll {float(loss):.3f}")
+            print(f"gp step {done:4d} nll {float(loss):.3f}")
 
     # precompute K^-1 y per GP with the fitted hyperparameters
     def alpha_one(i):
@@ -136,27 +140,19 @@ def _svd_decompose(entries, parameter_names, filters, config=None):
     backend (the reference's ``BaseTrainingModel.generate_svd_model``,
     nmma/em/training.py:118-176).
     """
-    from .svd import SVDTrainingConfig, _interp_grid
+    from .svd import SVDTrainingConfig, _interp_grid, _normalize_and_decompose
     cfg = config or SVDTrainingConfig()
     tt = np.linspace(cfg.tmin, cfg.tmax, cfg.n_tsteps)
-    data = _interp_grid(entries, filters, tt)
+    # honor the spline options like the MLP trainer (previously the GP
+    # backends silently trained on plain linear interpolation under
+    # --use-UnivariateSpline)
+    data = _interp_grid(entries, filters, tt,
+                        spline=cfg.univariate_spline,
+                        spline_s=cfg.univariate_spline_s)
     params = np.asarray([[e["params"][p] for p in parameter_names]
                          for e in entries])
-    p_mins, p_maxs = params.min(0), params.max(0)
-    x = (params - p_mins) / (p_maxs - p_mins)
-
-    mins, maxs = data.min(axis=0), data.max(axis=0)
-    span = np.where(maxs > mins, maxs - mins, 1.0)
-    norm = np.nan_to_num((data - mins) / span, nan=0.0)
-
-    n_c = min(cfg.n_coeff, len(entries), len(tt))
-    va_list, coeff_list = [], []
-    for j in range(len(filters)):
-        _, _, vt = np.linalg.svd(norm[:, j, :], full_matrices=True)
-        va_list.append(vt.T[:, :n_c])
-        coeff_list.append(norm[:, j, :] @ vt.T[:, :n_c])
-    va = np.stack(va_list)
-    coeffs = np.stack(coeff_list, axis=1)
+    (p_mins, p_maxs, x, mins, maxs, va,
+     coeffs) = _normalize_and_decompose(data, params, cfg.n_coeff)
     meta = dict(filters=tuple(filters), parameter_names=tuple(parameter_names),
                 tt=tt, va=va, mins=mins, maxs=maxs, param_mins=p_mins,
                 param_maxs=p_maxs)

@@ -80,6 +80,20 @@ class Grid:
         self.base_filename = base_filename
         self.rng = np.random.default_rng(random_seed)
 
+    def close(self):
+        """Release the HDF5 handle (it otherwise stays open — and on
+        locking filesystems keeps the source grid locked — for the
+        process lifetime)."""
+        if self.file is not None:
+            self.file.close()
+            self.file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def _setup(self, tag, shuffle):
         keys = self.keys.copy()
         if shuffle:

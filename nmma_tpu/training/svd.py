@@ -19,6 +19,7 @@ Pipeline (matching reference semantics, nmma/em/training.py:164-265):
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 from dataclasses import dataclass
@@ -127,6 +128,10 @@ def read_bulla_grid(files, model="Bu2019lm_sparse", filters=None):
     from ..native import parse_many
     parse, parameter_names = GRID_PARSERS[model]
     files = sorted(files)
+    if not files:
+        raise FileNotFoundError(
+            f"no grid files to read for model {model!r} — the data path "
+            f"matched nothing")
     tables = parse_many(files)     # native mmap+thread loader (w/ fallback)
     entries = []
     for fn, arr in zip(files, tables):
@@ -225,6 +230,44 @@ def _interp_spectra(entries, tt):
     return out, lam
 
 
+def normalize_params(params, p_mins, p_maxs):
+    """Min-max parameter normalisation with a zero-span guard: a
+    parameter constant across the whole grid (e.g. the LANL parsers'
+    KNtheta=0 default) must map to 0, not 0/0 = NaN."""
+    span = np.where(p_maxs > p_mins, p_maxs - p_mins, 1.0)
+    return (params - p_mins) / span
+
+
+def _normalize_and_decompose(data, params, n_coeff):
+    """Shared min-max + per-filter-SVD block for the MLP and GP trainers.
+
+    NaN-safe: interpolated grids carry NaN where an entry has no
+    coverage (spline mode out-of-span, <2 finite samples), so the
+    normalisation bounds use nanmin/nanmax — a plain min would poison
+    the SAVED mins/maxs and every inference magnitude with NaN.
+    Returns (p_mins, p_maxs, x, mins, maxs, va [F,T,C], coeffs [N,F,C]).
+    """
+    p_mins, p_maxs = params.min(0), params.max(0)
+    x = normalize_params(params, p_mins, p_maxs)
+
+    with np.errstate(all="ignore"):
+        mins = np.nan_to_num(np.nanmin(data, axis=0), nan=0.0)  # [F, T]
+        maxs = np.nan_to_num(np.nanmax(data, axis=0), nan=0.0)
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    norm = np.nan_to_num((data - mins) / span, nan=0.0)
+
+    n_c = min(n_coeff, data.shape[0], data.shape[2])
+    va_list, coeff_list = [], []
+    for j in range(data.shape[1]):
+        _, _, vt = np.linalg.svd(norm[:, j, :], full_matrices=True)
+        va_j = vt.T[:, :n_c]                            # [T, C]
+        va_list.append(va_j)
+        coeff_list.append(norm[:, j, :] @ va_j)         # [N, C]
+    va = np.stack(va_list)                              # [F, T, C]
+    coeffs = np.stack(coeff_list, axis=1)               # [N, F, C]
+    return p_mins, p_maxs, x, mins, maxs, va, coeffs
+
+
 def train_svd_model(entries, parameter_names, filters=None,
                     config: SVDTrainingConfig = SVDTrainingConfig(),
                     verbose=True, data_type="photometry",
@@ -263,29 +306,14 @@ def train_svd_model(entries, parameter_names, filters=None,
         maxs = np.asarray(init_model.maxs)
         va = np.asarray(init_model.va)                  # [F, T, C]
         n_c = va.shape[2]
-        x = (params - p_mins) / (p_maxs - p_mins)
+        x = normalize_params(params, p_mins, p_maxs)
         span = np.where(maxs > mins, maxs - mins, 1.0)
         norm = np.nan_to_num((data - mins) / span, nan=0.0)
         coeffs = np.einsum("nft,ftc->nfc", norm, va)    # saved basis
     else:
-        p_mins, p_maxs = params.min(0), params.max(0)
-        x = (params - p_mins) / (p_maxs - p_mins)
-
-        # per filter: min-max per time bin, SVD, coefficient projection
-        mins = data.min(axis=0)                         # [F, T]
-        maxs = data.max(axis=0)
-        span = np.where(maxs > mins, maxs - mins, 1.0)
-        norm = np.nan_to_num((data - mins) / span, nan=0.0)  # [N, F, T]
-
-        n_c = min(cfg.n_coeff, len(entries), len(tt))
-        va_list, coeff_list = [], []
-        for j in range(len(filters)):
-            _, _, vt = np.linalg.svd(norm[:, j, :], full_matrices=True)
-            va_j = vt.T[:, :n_c]                        # [T, C]
-            va_list.append(va_j)
-            coeff_list.append(norm[:, j, :] @ va_j)     # [N, C]
-        va = np.stack(va_list)                          # [F, T, C]
-        coeffs = np.stack(coeff_list, axis=1)           # [N, F, C]
+        (p_mins, p_maxs, x, mins, maxs, va,
+         coeffs) = _normalize_and_decompose(data, params, cfg.n_coeff)
+        n_c = va.shape[2]
 
     # ---- batched MLP training over the filter axis ----
     key = jax.random.PRNGKey(cfg.seed)
@@ -303,7 +331,11 @@ def train_svd_model(entries, parameter_names, filters=None,
                "w2": w2, "b2": jnp.zeros((f_n, n_c))}
 
     n = len(entries)
-    n_hold = max(1, int(round(n * cfg.holdout_fraction))) if n > 4 else 0
+    # holdout_fraction=0.0 means train on the FULL grid (no silent
+    # one-point withholding); a nonzero fraction keeps at least one
+    n_hold = 0
+    if cfg.holdout_fraction > 0 and n > 4:
+        n_hold = max(1, int(round(n * cfg.holdout_fraction)))
     perm = np.random.default_rng(cfg.seed).permutation(n)
     train_idx, hold_idx = perm[n_hold:], perm[:n_hold]
 
@@ -327,23 +359,25 @@ def train_svd_model(entries, parameter_names, filters=None,
         return (optax.apply_updates(net, updates), opt_state), loss
 
     # fuse a block of epochs into one scanned program: per-epoch python
-    # dispatch is one remote round trip each on the axon backend
+    # dispatch is one remote round trip each on the axon backend. The
+    # final block runs the exact remainder (at most one extra compile)
+    # so the trained epoch count matches n_epochs exactly.
     n_blocks = 5 if verbose else 1
     block = max(1, cfg.n_epochs // n_blocks)
 
-    @jax.jit
-    def run_block(net, opt_state):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run_block(net, opt_state, length):
         (net, opt_state), losses = jax.lax.scan(
-            step, (net, opt_state), None, length=block)
+            step, (net, opt_state), None, length=length)
         return net, opt_state, losses[-1]
 
     done = 0
     while done < cfg.n_epochs:
-        net, opt_state, loss = run_block(net, opt_state)
-        done += block
+        k = min(block, cfg.n_epochs - done)
+        net, opt_state, loss = run_block(net, opt_state, k)
+        done += k
         if verbose:
-            print(f"epoch {min(done, cfg.n_epochs):5d} "
-                  f"train mse {float(loss):.5f}")
+            print(f"epoch {done:5d} train mse {float(loss):.5f}")
     if n_hold:
         hold_loss = float(jax.jit(loss_fn)(
             net, jnp.asarray(x[hold_idx]), jnp.asarray(coeffs[hold_idx])))

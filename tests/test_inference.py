@@ -148,3 +148,29 @@ def test_svd_roundtrip_and_pe(trained_surrogate, tmp_path):
     for k in ("log10_mej_dyn", "log10_mej_wind"):
         med = np.median(post[k])
         assert abs(med - truth[k]) < 0.4, (k, med, truth[k])
+
+
+def test_likelihood_plateau_does_not_degenerate():
+    """A likelihood constant over a finite region ties live points at
+    the threshold; the tie-tolerant refill must keep the live set spread
+    over the plateau instead of collapsing onto one point, and the
+    evidence must stay finite and roughly right."""
+    import jax.numpy as jnp
+
+    # logL = 0 inside [0.2, 0.8]^2, -50 outside: Z = 0.36*e^0 + 0.64*e^-50
+    def logl(u):
+        inside = jnp.all((u > 0.2) & (u < 0.8), axis=-1)
+        return jnp.where(inside, 0.0, -50.0)
+
+    s = NestedSampler(logl, 2, NestedSamplerConfig(
+        nlive=256, n_delete=32, walks=10, dlogz=0.05, chunk_size=10,
+        seed=0, max_iter=400))
+    r = s.run(verbose=False)
+    lnz_true = np.log(0.36 + 0.64 * np.exp(-50.0))
+    assert np.isfinite(r.logz)
+    assert abs(r.logz - lnz_true) < max(5 * r.logz_err, 0.25), (
+        r.logz, lnz_true, r.logz_err)
+    # the surviving live set must not have collapsed to one point
+    idx = r.posterior_indices()
+    spread = r.samples_u[idx].std(axis=0)
+    assert (spread > 0.05).all(), spread

@@ -109,3 +109,65 @@ def test_continue_training_and_spline_cli(tmp_path):
         "--filters", "ztfg", "--use-UnivariateSpline",
         "--UnivariateSpline-s", "4.0"])
     assert SVDModelData.load(out3).va.shape[2] == 4
+
+
+def test_training_nan_coverage_and_constant_param():
+    """Two training robustness regressions: (a) grid entries with NaN
+    bins (no time coverage) must not poison the saved normalisation;
+    (b) a parameter constant across the grid (LANL KNtheta=0 default)
+    must not produce 0/0 NaN inputs."""
+    import glob
+
+    from nmma_tpu.training import (SVDTrainingConfig, read_bulla_grid,
+                                   train_svd_model)
+    files = glob.glob("/root/reference/nmma/tests/data/bulla/*.dat")
+    entries, pnames, filters = read_bulla_grid(files,
+                                               model="Bu2019lm_sparse")
+    # (a) truncate one entry's time span so the surrogate grid's tail
+    # bins interpolate to NaN for it
+    e0 = dict(entries[0])
+    keep = e0["t"] < 6.0
+    e0 = {"params": e0["params"], "t": e0["t"][keep],
+          "mags": {k: v[keep] for k, v in e0["mags"].items()}}
+    # spline mode fills out-of-span with NaN
+    cfg = SVDTrainingConfig(n_coeff=4, hidden=16, n_epochs=150,
+                            tmin=0.2, tmax=10.0, n_tsteps=30,
+                            univariate_spline=True)
+    # (b) add a constant extra parameter
+    entries_c = [dict(e, params=dict(e["params"], KNtheta=0.0))
+                 for e in [e0] + entries[1:]]
+    svd = train_svd_model(entries_c, pnames + ["KNtheta"], ["ztfg"],
+                          cfg, verbose=False)
+    assert np.isfinite(svd.mins).all() and np.isfinite(svd.maxs).all()
+    assert np.isfinite(svd.w1).all() and np.isfinite(svd.w2).all()
+    # the surrogate evaluates finite
+    from nmma_tpu.models.svd import svd_surrogate_mags
+    import jax.numpy as jnp
+    mags = np.asarray(svd_surrogate_mags(
+        svd, {p: jnp.asarray(v) for p, v in
+              zip(svd.parameter_names, [-2.0, -1.3, 0.0])},
+        np.linspace(0.5, 8.0, 10)))
+    assert np.isfinite(mags).all()
+
+
+def test_holdout_fraction_zero_trains_on_full_grid(capsys):
+    import glob
+
+    from nmma_tpu.training import (SVDTrainingConfig, read_bulla_grid,
+                                   train_svd_model)
+    files = glob.glob("/root/reference/nmma/tests/data/bulla/*.dat")
+    entries, pnames, _ = read_bulla_grid(files, model="Bu2019lm_sparse")
+    train_svd_model(entries, pnames, ["ztfg"],
+                    SVDTrainingConfig(n_coeff=4, hidden=16, n_epochs=50,
+                                      holdout_fraction=0.0, tmin=0.2,
+                                      n_tsteps=20), verbose=True)
+    out = capsys.readouterr().out
+    assert "holdout" not in out
+
+
+def test_read_bulla_grid_empty_list_errors():
+    import pytest
+
+    from nmma_tpu.training import read_bulla_grid
+    with pytest.raises(FileNotFoundError, match="matched nothing"):
+        read_bulla_grid([], model="Bu2019lm_sparse")
