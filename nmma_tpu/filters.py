@@ -236,12 +236,60 @@ _GENERIC_MODEL_FILTERS = set(_GENERIC_LAMBDAS_AA) | set(_SNCOSMO_LAMBDAS_AA) | \
     set(_RADIO_XRAY_DEFAULTS)
 
 
-def resolve_filter(observed: str):
+def _generic_band(name: str) -> str:
+    """Generic band letter(s) behind a survey-prefixed filter name
+    (ztfg -> g, ps1::z -> z, sdssu -> u, 2massj -> j)."""
+    n = name.lower()
+    for pre in ("ps1::", "ps1_", "sdss", "ztf", "atlas", "2mass",
+                "lsst", "uvot::", "bessell"):
+        if n.startswith(pre):
+            return n[len(pre):].lstrip(":_")
+    return n
+
+
+def resolve_filter(observed: str, available=None):
     """Map an observed filter name to (kind, payload).
 
     kind == 'direct': payload is the model filter name.
     kind == 'average': payload is the tuple of model filters to average.
+
+    ``available``: the source model's fixed filter set (surrogates), or
+    None for models that compute any frequency (analytic kernels). The
+    reference resolves per-model the same way (getFilteredMag,
+    nmma/em/utils.py:549-585): direct when the model provides the band,
+    else synonym, else composite average — for a ugrizy-trained
+    surrogate, observed V is the (g, r) average, never a dead all-inf
+    row.
     """
+    if available is not None:
+        avail = set(available)
+
+        def find(band):
+            """The trained filter providing generic band ``band``: an
+            exact name, or a survey-prefixed equivalent (the reference's
+            models are keyed by bare band letters, utils.py:552-560; our
+            surrogate artifacts keep survey-prefixed names like ztfg)."""
+            if band in avail:
+                return band
+            for f in available:
+                if _generic_band(f) == band.lower():
+                    return f
+            return None
+
+        if observed in avail:
+            return "direct", observed
+        syn = _SYNONYMS.get(observed)
+        if syn is not None and find(syn) is not None:
+            return "direct", find(syn)
+        comp = COMPOSITE_FILTERS.get(observed)
+        if comp is not None and all(find(h) is not None for h in comp):
+            return "average", tuple(find(h) for h in comp)
+        if observed.lower() in avail:
+            return "direct", observed.lower()
+        raise KeyError(
+            f"filter {observed!r} not resolvable against the model's "
+            f"trained set {sorted(avail)} (no direct/synonym/composite "
+            f"mapping)")
     if observed in _GENERIC_MODEL_FILTERS:
         return "direct", observed
     if observed in _SYNONYMS:

@@ -122,7 +122,8 @@ class EMLikelihood:
         k_max = 1
         rows, weights = [], []
         for f in self.filters:
-            kind, payload = resolve_filter(f)
+            kind, payload = resolve_filter(
+                f, available=self.model.source.filter_names)
             if kind == "direct":
                 helper = [payload]
             else:

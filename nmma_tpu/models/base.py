@@ -177,6 +177,23 @@ class DetectorLightCurveModel:
             model = get_source_model(model)
         self.source: SourceModel = model
         self.filters = list(filters)
+        # auto-append the helper model filters that synonym/composite
+        # resolution of the requested set needs (observed V on a
+        # ugrizy surrogate averages g and r; the helpers ride as EXTRA
+        # trailing rows so requested-filter row indices are unchanged)
+        from ..filters import resolve_filter
+        extra = []
+        for f in list(self.filters):
+            try:
+                kind, payload = resolve_filter(
+                    f, available=self.source.filter_names)
+            except KeyError:
+                continue   # surfaced with full context by the likelihood
+            needed = payload if kind == "average" else (payload,)
+            for h in needed:
+                if h not in self.filters and h not in extra:
+                    extra.append(h)
+        self.filters += extra
         # static kernel options (e.g. grb_resolution / jet_type for the
         # afterglow kernel; reference GRBLightCurveModel resolution,
         # nmma/em/model.py:804-843). Only options the kernel's signature

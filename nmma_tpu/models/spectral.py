@@ -69,27 +69,40 @@ def make_spectral_source_model(name, phase_days, wave_aa, flam,
     wave = np.asarray(wave_aa, dtype=np.float64)
     flam = np.asarray(flam, dtype=np.float64)
 
-    # f_nu [T, W] and AB magnitudes on the template grid
+    # f_nu [T, W] and AB magnitudes on the template grid. Zero/negative
+    # template flux maps to a finite but absurdly faint magnitude
+    # (~+743 from the 1e-300 floor) rather than +inf: in-coverage zeros
+    # (Lyman breaks, UV blanketing) must stay DATA — an inf would be
+    # indistinguishable from "outside wavelength coverage" and get
+    # bridged over by the masked interpolation / renormalized out of the
+    # band integral, reporting flux where the template says there is
+    # none.
     fnu = flam * (wave[None, :] ** 2 * 1e-8) / C_CGS
     with np.errstate(divide="ignore"):
         mag_grid = -2.5 * np.log10(np.maximum(fnu, 1e-300) / _AB_ZP_CGS)
-    mag_grid[fnu <= 0] = np.inf
 
     offset = 0.0
     if anchor:
+        # np.interp clamps out-of-range queries to the edge value, which
+        # would silently anchor an out-of-band template to its edge flux
+        if not (wave[0] <= _ANCHOR_WAVE_AA <= wave[-1]):
+            raise ValueError(
+                f"anchor wavelength {_ANCHOR_WAVE_AA:.0f} AA outside the "
+                f"template coverage [{wave[0]:.0f}, {wave[-1]:.0f}] AA; "
+                f"pass anchor=False and calibrate the amplitude yourself")
         anchor_mags = np.array([
             np.interp(_ANCHOR_WAVE_AA, wave, row) for row in mag_grid])
-        finite = np.isfinite(anchor_mags)
-        if not finite.any():
-            raise ValueError("anchor wavelength outside the template")
-        offset = M_REF - float(np.min(anchor_mags[finite]))
+        offset = M_REF - float(np.min(anchor_mags))
     mag_grid = mag_grid + offset
 
     log_nu_grid = np.log(C_CGS / (wave * 1e-8))[::-1]          # ascending
     mag_grid_nu = np.ascontiguousarray(mag_grid[:, ::-1])      # [T, W]
     phase_j = jnp.asarray(phase)
     log_nu_j = jnp.asarray(log_nu_grid)
-    mag_j = jnp.asarray(np.nan_to_num(mag_grid_nu, posinf=np.inf))
+    # any NaN that slips through upstream guards must become IGNORED
+    # (inf), never a bright valid magnitude (the nan->0 default)
+    mag_j = jnp.asarray(np.nan_to_num(mag_grid_nu, nan=np.inf,
+                                      posinf=np.inf))
 
     def mags_fn(params, t_days, nu_host, nu_nodes=None, nu_weights=None):
         boost = jnp.asarray(params.get("supernova_mag_boost", 0.0))
@@ -146,8 +159,13 @@ def make_spectral_source_model(name, phase_days, wave_aa, flam,
         name=name,
         parameter_names=("supernova_mag_boost",) + tuple(extra_parameters),
         mags_fn=mags_fn,
-        default_time_grid=lambda: np.asarray(
-            np.clip(phase, max(phase[0], 1e-3), None)),
+        # the detector time axis is days since trigger (> 0): templates
+        # whose phases run relative to PEAK (negative entries) keep only
+        # the positive part — clipping them all to 1e-3 produced a grid
+        # of duplicate nodes that erased the rise-time resolution
+        default_time_grid=lambda: (
+            np.asarray(phase[phase > 0]) if (phase > 0).sum() >= 2
+            else np.geomspace(1e-3, max(float(phase[-1]), 1.0), 32)),
         citation="spectral time-series template (sncosmo-architecture "
                  "counterpart, nmma/em/model.py:1061-1227)",
     )
@@ -165,7 +183,12 @@ def spectral_model_from_file(name, path, anchor=True):
                                           anchor=anchor)
     try:
         phase, wave, flam = load_sncosmo_ascii_template(path)
-    except ValueError:
+    except ValueError as e:
+        if "not rectangular" in str(e):
+            # a genuinely malformed 3-column template: surface the real
+            # diagnostic instead of letting the POSSIS reader fail with
+            # a confusing parse error
+            raise
         from ..io.radiative import read_possis_ascii
         time, _, wave, flux = read_possis_ascii(path)
         return make_spectral_source_model(name, time, wave[0], flux[0],

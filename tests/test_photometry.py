@@ -43,3 +43,54 @@ def test_flux_to_ab_mag_units():
     np.testing.assert_allclose(float(flux_to_ab_mag(3.631e6, unit="mJy")), 0.0,
                                atol=1e-3)
     assert np.isinf(float(flux_to_ab_mag(0.0)))
+
+
+def test_model_aware_filter_resolution():
+    """Surrogate-aware resolution (reference getFilteredMag semantics,
+    utils.py:549-585): direct when trained, synonym/composite against
+    survey-prefixed trained names otherwise; analytic models keep the
+    direct generic evaluation."""
+    from nmma_tpu.filters import resolve_filter
+    avail = ("sdssu", "ztfg", "ztfr", "ztfi", "ps1::z", "ps1::y")
+    assert resolve_filter("ztfg", available=avail) == ("direct", "ztfg")
+    assert resolve_filter("V", available=avail) == (
+        "average", ("ztfg", "ztfr"))
+    assert resolve_filter("I", available=avail) == (
+        "average", ("ps1::z", "ps1::y"))
+    assert resolve_filter("B", available=avail) == ("direct", "ztfg")
+    assert resolve_filter("R", available=avail) == ("direct", "ps1::z")
+    import pytest
+    with pytest.raises(KeyError, match="not resolvable"):
+        resolve_filter("2massks", available=("ztfg",))
+    # analytic kernels evaluate any band at its own wavelength
+    assert resolve_filter("V") == ("direct", "V")
+
+
+def test_composite_v_band_against_surrogate():
+    """Observed V data fits a ztf-trained surrogate via the (g, r)
+    average; the detector model auto-appends the helper rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from nmma_tpu.likelihood import (EMLikelihood, PhotometryData,
+                                     SystematicsModel)
+    from nmma_tpu.models import DetectorLightCurveModel
+    from nmma_tpu.models.svd import SVDModelData, make_svd_source_model
+    z = SVDModelData.load("artifacts/Bu2019lm_production_svd.npz")
+    make_svd_source_model("BuVTest", z)
+    m = DetectorLightCurveModel("BuVTest", ["V"])
+    assert m.filters == ["V", "ztfg", "ztfr"]
+    theta = dict(log10_mej_dyn=-2.0, log10_mej_wind=-1.0, KNphi=45.0,
+                 KNtheta=30.0, luminosity_distance=40.0)
+    t, mags = m(theta)
+    mags = np.asarray(mags)
+    v_avg = 0.5 * (mags[1] + mags[2])
+    data = {"V": {"time": np.array([2.0, 4.0]),
+                  "mag": np.interp([2.0, 4.0], np.asarray(t), v_avg),
+                  "mag_error": np.array([0.1, 0.1])}}
+    photo, filters = PhotometryData.from_dict(data, ["V"])
+    lk = EMLikelihood(m, photo, filters,
+                      SystematicsModel(filters, error_budget=0.2))
+    ll = float(jax.jit(lk.log_likelihood)(theta))
+    # data generated from the model's own (g+r)/2: near-perfect fit
+    assert ll > -3.0, ll
