@@ -82,8 +82,15 @@ def multi_config_analysis(config_path, parallel=False, max_workers=4,
 
     def run_one(item):
         label, argv = item
-        return label, subprocess.run(
-            ["lightcurve-analysis", *argv], capture_output=True).returncode
+        r = subprocess.run(["lightcurve-analysis", *argv],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            # a silent nonzero returncode is undiagnosable: surface the
+            # subprocess's own error text
+            tail = (r.stderr or r.stdout or "").strip()[-2000:]
+            print(f"[{label}] FAILED (rc={r.returncode}):\n{tail}",
+                  flush=True)
+        return label, r.returncode
 
     if parallel:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:

@@ -82,20 +82,60 @@ def generate_mass_parameters(parameters):
     return p
 
 
+def _dl_grid_for_om0(cosmo, om0):
+    """Traced-Om0 d_L(z) grid [..., N] on the fiducial z grid.
+
+    Radiation stays at the fiducial density (O(1e-5) of the budget at PE
+    redshifts); dark energy closes the budget, matching astropy's
+    ``clone(Om0=...)`` convention the reference uses
+    (conversion.py:66-102). d_L carries the FIDUCIAL H0 — callers apply
+    the exact 1/H0 scaling separately.
+    """
+    zg = cosmo.z_grid                                      # [N] host
+    or_grid = cosmo.Ogamma0 * (1.0 + cosmo._nu_relative_density(zg))
+    zp1 = 1.0 + zg
+    om0 = jnp.asarray(om0)[..., None]
+    ode0 = 1.0 - om0 - cosmo.Ogamma0 - cosmo.Onu0
+    e2 = om0 * zp1**3 + ode0 + or_grid * zp1**4            # [..., N]
+    inv_e = 1.0 / jnp.sqrt(e2)
+    dz = np.diff(zg)
+    dc = jnp.concatenate([
+        jnp.zeros(inv_e.shape[:-1] + (1,)),
+        jnp.cumsum(0.5 * (inv_e[..., 1:] + inv_e[..., :-1]) * dz,
+                   axis=-1)], axis=-1) * cosmo.hubble_distance
+    return zp1 * dc
+
+
 def cosmology_to_distance(parameters, cosmology=None):
-    """Hubble-constant-aware distance <-> redshift conversion.
+    """Cosmology-aware distance <-> redshift conversion.
 
     Counterpart of ``cosmology_to_distance`` (conversion.py:66-102): when
-    'Hubble_constant' is sampled, z(d_L) is evaluated under the modified
-    cosmology. At fixed density parameters d_L(z) H0 is exactly
-    H0-invariant, so the fiducial interpolation grid serves every sample:
-    z = z_fid(d_L * H0 / H0_fid).
+    'Hubble_constant' (and/or 'Omega_matter') is sampled, z(d_L) is
+    evaluated under the modified cosmology. At fixed density parameters
+    d_L(z) H0 is exactly H0-invariant, so the fiducial interpolation grid
+    serves every sample: z = z_fid(d_L * H0 / H0_fid). A sampled
+    Omega_matter changes the shape of d_L(z), so its grid is rebuilt
+    per sample (a 1-D cumulative trapezoid — jit/vmap safe).
     """
     p = dict(parameters)
-    if "Hubble_constant" not in p:
+    if "Hubble_constant" not in p and "Omega_matter" not in p:
         return p
     cosmo = cosmology or get_cosmology()
-    h_ratio = jnp.asarray(p["Hubble_constant"]) / cosmo.H0
+    h_ratio = jnp.asarray(p.get("Hubble_constant", cosmo.H0)) / cosmo.H0
+    if "Omega_matter" in p:
+        dl_grid = _dl_grid_for_om0(cosmo, p["Omega_matter"])  # [..., N]
+        zg = jnp.asarray(cosmo.z_grid)
+        if "luminosity_distance" in p:
+            dl_q = jnp.asarray(p["luminosity_distance"]) * h_ratio
+            interp = jnp.vectorize(jnp.interp,
+                                   signature="(),(n),(n)->()")
+            p["redshift"] = interp(dl_q, dl_grid, zg)
+        elif "redshift" in p:
+            interp = jnp.vectorize(jnp.interp,
+                                   signature="(),(n),(n)->()")
+            p["luminosity_distance"] = interp(
+                jnp.asarray(p["redshift"]), zg, dl_grid) / h_ratio
+        return p
     if "luminosity_distance" in p:
         p["redshift"] = cosmo.redshift_at_dl(
             jnp.asarray(p["luminosity_distance"]) * h_ratio)
@@ -215,24 +255,28 @@ def eos_to_system_parameters(radii, masses, lambdas, m1_source, m2_source):
 # ---------------------------------------------------------------------------
 # structured-jet energy conversions (conversion.py:274-316)
 # ---------------------------------------------------------------------------
-_JET_QUAD_N = 100
+_JET_QUAD_N = 101   # ODD sample count: classic composite Simpson is exact
 
 
 def _jet_integral(theta_core, alpha_wing, profile):
-    """int_0^{alphaWing*thetaCore} sin(x) * profile(x) dx, Simpson 100-pt
-    (matches the reference's powerlaw quadrature; validated vs the analytic
-    gaussian expression in tests)."""
-    theta_max = alpha_wing * theta_core
+    """int_0^{alphaWing*thetaCore} sin(x) * profile(x) dx, composite
+    Simpson over an odd node count (exact weights; an even count needs
+    scipy's corrected last-interval rule, and the previous 100-node
+    (1,4,2,...) weights integrated a constant to 0.9966). Batch-safe:
+    the quadrature axis is a new TRAILING axis, so [B]-shaped parameters
+    broadcast instead of colliding with the node axis.
+
+    ``profile`` receives x shaped [..., N]; closures over per-sample
+    parameters must broadcast with a trailing [..., None]."""
+    theta_max = jnp.asarray(alpha_wing) * jnp.asarray(theta_core)
     frac = jnp.linspace(0.0, 1.0, _JET_QUAD_N)
-    x = theta_max * frac
+    x = theta_max[..., None] * frac                      # [..., N]
     y = jnp.sin(x) * profile(x)
     h = theta_max / (_JET_QUAD_N - 1)
-    # composite Simpson (even sample count handled like scipy.simpson)
     w = np.ones(_JET_QUAD_N)
     w[1:-1:2] = 4.0
     w[2:-1:2] = 2.0
-    simpson = h / 3.0 * jnp.sum(w * y)
-    return simpson
+    return h / 3.0 * jnp.sum(w * y, axis=-1)
 
 
 def gaussian_jet_log10_eiso(log10_ejet, theta_core, alpha_wing):
@@ -241,15 +285,18 @@ def gaussian_jet_log10_eiso(log10_ejet, theta_core, alpha_wing):
     Kept in log space: jet energies (~1e50 erg) overflow float32.
     E_iso = E_jet * 2 / integral (reference conversion.py:276-297).
     """
+    tc = jnp.asarray(theta_core)[..., None]
     integral = _jet_integral(theta_core, alpha_wing,
-                             lambda x: jnp.exp(-0.5 * (x / theta_core) ** 2))
+                             lambda x: jnp.exp(-0.5 * (x / tc) ** 2))
     return log10_ejet + jnp.log10(2.0) - jnp.log10(integral)
 
 
 def powerlaw_jet_log10_eiso(log10_ejet, theta_core, alpha_wing, b):
+    tc = jnp.asarray(theta_core)[..., None]
+    b_ = jnp.asarray(b)[..., None]
     integral = _jet_integral(
         theta_core, alpha_wing,
-        lambda x: jnp.power(1.0 + (x / theta_core) ** 2 / b, -b / 2.0))
+        lambda x: jnp.power(1.0 + (x / tc) ** 2 / b_, -b_ / 2.0))
     return log10_ejet + jnp.log10(2.0) - jnp.log10(integral)
 
 

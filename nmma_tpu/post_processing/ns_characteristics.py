@@ -31,7 +31,10 @@ def combine_eos_posteriors(event_eos_samples, eos_set, pdet=None,
     """
     n_eos = eos_set.n_eos
     r14 = np.asarray(eos_set.r14)
-    log_w = np.log(np.asarray(eos_set.weights) + 1e-300)
+    prior_w = np.asarray(eos_set.weights, dtype=np.float64)
+    prior_w = prior_w / prior_w.sum()
+    log_prior = np.log(prior_w + 1e-300)
+    log_w = log_prior.copy()
     trend = []
     for samples in event_eos_samples:
         if as_probabilities:
@@ -46,7 +49,11 @@ def combine_eos_posteriors(event_eos_samples, eos_set, pdet=None,
         if pdet is not None:
             w_event = w_event / np.maximum(pdet(np.asarray(eos_set.tov_mass)),
                                            1e-10)
-        log_w = log_w + np.log(w_event + 1e-300)
+        # each event's posterior was sampled UNDER the EOS prior: divide
+        # it out so the combination is prior x product(likelihoods) —
+        # not prior^(N+1) (reference generate_EOS_cumprods and this
+        # file's generate_eos_cumprods both divide per event)
+        log_w = log_w + np.log(w_event + 1e-300) - log_prior
         weights = np.exp(log_w - log_w.max())
         weights /= weights.sum()
         order = np.argsort(r14)

@@ -112,3 +112,44 @@ def test_qur_radii():
     assert 9.0 < float(p["radius_1"]) < 15.0
     assert 9.0 < float(p["radius_2"]) < 15.0
     assert float(p["R_16"]) > 8.0
+
+
+def test_jet_integral_batched_and_exact():
+    """The jet-energy quadrature is batch-safe (the node axis is a
+    TRAILING axis — batch 100/101 previously aliased it) and Simpson
+    weights are exact on the 101-node grid."""
+    import jax.numpy as jnp
+
+    from nmma_tpu.conversion import (_jet_integral, gaussian_jet_log10_eiso,
+                                     powerlaw_jet_log10_eiso)
+    v = float(_jet_integral(jnp.asarray(1.0), jnp.asarray(1.0),
+                            lambda x: jnp.ones_like(x)))
+    assert abs(v - (1 - np.cos(1.0))) < 1e-6
+    g1 = float(gaussian_jet_log10_eiso(jnp.asarray(0.0),
+                                       jnp.asarray(0.1), jnp.asarray(3.0)))
+    for b in (5, 100, 101):
+        tc = jnp.full(b, 0.1)
+        aw = jnp.full(b, 3.0)
+        g = gaussian_jet_log10_eiso(jnp.zeros(b), tc, aw)
+        p = powerlaw_jet_log10_eiso(jnp.zeros(b), tc, aw, jnp.full(b, 6.0))
+        assert g.shape == (b,) and p.shape == (b,)
+        np.testing.assert_allclose(np.asarray(g), g1, atol=1e-6)
+
+
+def test_cosmology_to_distance_sampled_omega_matter():
+    """A sampled Omega_matter rebuilds the d_L(z) relation (previously
+    silently ignored); parity vs an exactly-rebuilt cosmology."""
+    import jax.numpy as jnp
+
+    from nmma_tpu.conversion import cosmology_to_distance
+    from nmma_tpu.cosmology import Cosmology
+    p = cosmology_to_distance({
+        "Omega_matter": jnp.asarray([0.25, 0.35]),
+        "Hubble_constant": jnp.asarray([67.66, 73.0]),
+        "luminosity_distance": jnp.asarray([100.0, 400.0])})
+    z = np.asarray(p["redshift"])
+    for i, (om, h0, dl) in enumerate([(0.25, 67.66, 100.0),
+                                      (0.35, 73.0, 400.0)]):
+        z_ref = float(Cosmology(Om0=om, H0=h0).redshift_at_dl(
+            jnp.asarray(dl)))
+        assert abs(z[i] - z_ref) < 3e-5, (z[i], z_ref)

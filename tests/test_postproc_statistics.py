@@ -164,3 +164,67 @@ def test_gwem_resampler_nsbh_variant():
     # spins recovered near their KDE priors
     assert abs(np.median(post["chi_1"]) - 0.3) < 0.1
     assert abs(np.median(post["chi_2"])) < 0.1
+
+
+def test_combine_eos_divides_out_per_event_prior():
+    """Combining N events must give prior x product(likelihoods), not
+    prior^(N+1) x product — with a sharply non-uniform prior the two
+    differ visibly (the trend machinery already divides per event)."""
+    from nmma_tpu.post_processing.ns_characteristics import (
+        combine_eos_posteriors, eos_index_weights)
+
+    class FakeEOSSet:
+        n_eos = 50
+        r14 = np.linspace(10.0, 14.0, 50)
+        weights = np.exp(-0.5 * ((np.arange(50) - 10.0) / 5.0) ** 2)
+        tov_mass = np.full(50, 2.2)
+
+    eos_set = FakeEOSSet()
+    rng = np.random.default_rng(0)
+    # three events whose likelihoods all peak at EOS ~ 35
+    events = [rng.normal(35.0, 4.0, 4000).clip(0, 49.99) for _ in range(3)]
+    weights, trend = combine_eos_posteriors(events, eos_set)
+    # manual: prior * prod(event_prob / prior)
+    pw = eos_set.weights / eos_set.weights.sum()
+    expect = np.log(pw + 1e-300).copy()
+    for e in events:
+        expect += np.log(eos_index_weights(e, 50) + 1e-300) \
+            - np.log(pw + 1e-300)
+    expect = np.exp(expect - expect.max())
+    expect /= expect.sum()
+    np.testing.assert_allclose(weights, expect, atol=1e-12)
+    # the data peak must win against the prior peak at EOS 10
+    assert np.argmax(weights) > 25
+
+
+def test_resampler_source_frame_and_linear_kde():
+    """The resampler KDEs detector-frame chirp masses in the SOURCE
+    frame (divided by 1+z(d_L)) and evaluates the EM KDE in LINEAR
+    masses (reference resampling.py:96-108, construct_EM_KDE)."""
+    from nmma_tpu.post_processing.resampling import (GWEMResampler,
+                                                     _linear_em_samples)
+    rng = np.random.default_rng(1)
+    em = {"log10_mej_dyn": rng.normal(-2, 0.1, 500),
+          "log10_mej_wind": rng.normal(-1.5, 0.1, 500)}
+    lin = _linear_em_samples(em, False)
+    np.testing.assert_allclose(lin[:, 0], 10.0 ** em["log10_mej_dyn"])
+    # total mode without a log10_mej column sums the components
+    tot = _linear_em_samples(em, True)
+    np.testing.assert_allclose(
+        tot, 10.0 ** em["log10_mej_dyn"] + 10.0 ** em["log10_mej_wind"])
+
+    class FakeEOS:
+        n_eos = 10
+
+    gw = {"chirp_mass": np.full(300, 1.20),
+          "mass_ratio": rng.uniform(0.6, 1.0, 300),
+          "lambda_tilde": rng.uniform(100, 500, 300),
+          "luminosity_distance": np.full(300, 400.0)}   # z ~ 0.085
+    rs = GWEMResampler(gw, em, FakeEOS())
+    # the stored KDE peaks at the SOURCE-frame value ~ 1.20/(1.085)
+    grid = np.linspace(1.0, 1.3, 400)
+    dens = np.asarray([float(rs.mc_kde.logpdf(g)) for g in grid[::40]])
+    peak = grid[::40][np.argmax(dens)]
+    assert abs(peak - 1.20 / 1.085) < 0.02, peak
+    # and the prior range follows the GW q range, not a hardcoded 0.5
+    assert rs.priors.priors["mass_ratio"].minimum >= 0.59
