@@ -428,13 +428,29 @@ def build_joint_likelihood(dump):
             print(f"relative binning setup failed ({err}); "
                   f"falling back to the dense likelihood")
     if gw_lk is None:
+        # the distance-marginalization grid must cover (and weight by)
+        # the sampler's ACTUAL luminosity_distance prior — the
+        # likelihood's built-in (10, 500) Mpc uniform-in-volume default
+        # silently truncates/mismatches wider priors
+        dist_kwargs = {}
+        lum = getattr(priors, "priors", {}).get("luminosity_distance")
+        if (args.get("distance_marginalization") and lum is not None
+                and hasattr(lum, "minimum")
+                and np.isfinite(getattr(lum, "minimum", np.nan))):
+            dist_kwargs["distance_bounds"] = (float(lum.minimum),
+                                              float(lum.maximum))
+            if hasattr(lum, "log_prob"):
+                dist_kwargs["distance_prior"] = (
+                    lambda d: float(np.exp(np.asarray(
+                        lum.log_prob(jnp.asarray(d))))))
         gw_lk = GWTransientLikelihood(
             dump["ifos"], waveform=waveform,
             trigger_time=dump["trigger_time"],
             phase_marginalization=bool(args.get("phase_marginalization")),
             distance_marginalization=bool(
                 args.get("distance_marginalization")),
-            time_marginalization=bool(args.get("time_marginalization")))
+            time_marginalization=bool(args.get("time_marginalization")),
+            **dist_kwargs)
     likelihoods = [gw_lk]
     sanity = ()
 

@@ -98,7 +98,7 @@ def _time_peak(lk, parameters):
                            lk._tm_offsets[i] + integrand.shape[0]].set(
             integrand)
         dh_t = dh_t + jnp.take(jnp.fft.fft(padded), lk._tm_idx)
-    k = int(np.argmax(np.abs(np.asarray(jnp.abs(dh_t)))))
+    k = int(np.argmax(np.asarray(jnp.abs(dh_t))))
     n = lk._tm_n[0]
     dur = lk.ifos[0].duration
     idx = int(np.asarray(lk._tm_idx)[k])

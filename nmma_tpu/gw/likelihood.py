@@ -156,9 +156,17 @@ class GWTransientLikelihood:
                 "or drop one of the two")
         self._cal = []
         if calibration_draws is not None:
-            n_draws = {np.asarray(calibration_draws[ifo.name]).shape[0]
-                       for ifo in self.ifos
-                       if ifo.name in calibration_draws}
+            matched = [ifo.name for ifo in self.ifos
+                       if ifo.name in calibration_draws]
+            if calibration_draws and not matched:
+                # keys matching no interferometer would silently turn
+                # the requested marginalization into a no-op
+                raise ValueError(
+                    f"calibration_draws keys {sorted(calibration_draws)} "
+                    f"match no interferometer "
+                    f"({[i.name for i in self.ifos]})")
+            n_draws = {np.asarray(calibration_draws[name]).shape[0]
+                       for name in matched}
             if len(n_draws) > 1:
                 raise ValueError("calibration draws must share a draw count")
             self.n_cal_draws = n_draws.pop() if n_draws else 1

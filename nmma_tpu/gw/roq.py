@@ -146,12 +146,17 @@ def build_roq_basis(frequencies, waveform, priors, n_training=512,
     key = jax.random.PRNGKey(seed)
     u = priors.sample_units(key, n_training)
     batched = jax.jit(jax.vmap(one))
+    from .likelihood import _to_host_complex
+    # pad the final batch to the fixed 128 shape: a ragged last batch
+    # retraces/recompiles the whole projected-waveform graph (cold
+    # compiles cost minutes on the remote backend)
+    n_pad = (-n_training) % 128
+    u_pad = np.concatenate([u, u[:1].repeat(n_pad, axis=0)]) if n_pad \
+        else u
     rows = []
-    for i in range(0, n_training, 128):
-        out = batched(jnp.asarray(u[i:i + 128]))
-        rows.append(np.asarray(jnp.real(out), dtype=np.float64)
-                    + 1j * np.asarray(jnp.imag(out), dtype=np.float64))
-    training = np.concatenate(rows)                      # [N, F] complex
+    for i in range(0, len(u_pad), 128):
+        rows.append(_to_host_complex(batched(jnp.asarray(u_pad[i:i + 128]))))
+    training = np.concatenate(rows)[:n_training]         # [N, F] complex
 
     # normalize rows so the basis resolves shape, not amplitude
     norms = np.linalg.norm(training, axis=1, keepdims=True)

@@ -69,7 +69,7 @@ def read_strain_file(path, channel=None, t0=None, sample_rate=None):
     if ext == ".gz":
         ext = os.path.splitext(path[:-3])[1].lower()
     if ext in (".hdf5", ".h5", ".hdf"):
-        return _read_hdf5(path, channel)
+        return _read_hdf5(path, channel, t0, sample_rate)
     if ext in (".npy",):
         if t0 is None or sample_rate is None:
             raise ValueError(".npy strain needs t0= and sample_rate=")
@@ -90,7 +90,7 @@ def read_strain_file(path, channel=None, t0=None, sample_rate=None):
     return _read_ascii(path, t0, sample_rate)
 
 
-def _read_hdf5(path, channel):
+def _read_hdf5(path, channel, t0=None, sample_rate=None):
     import h5py
     with h5py.File(path, "r") as f:
         if channel and channel in f:
@@ -98,8 +98,15 @@ def _read_hdf5(path, channel):
             data = np.asarray(node)
             dx = node.attrs.get("Xspacing")
             x0 = node.attrs.get("Xstart")
+            # caller-supplied metadata backs up missing GWOSC attrs
+            # (generic 1-D datasets are valid with explicit t0/rate)
+            if dx is None and sample_rate is not None:
+                dx = 1.0 / float(sample_rate)
+            if x0 is None:
+                x0 = t0
             if dx is None:
-                raise ValueError(f"dataset {channel} lacks Xspacing attr")
+                raise ValueError(f"dataset {channel} lacks Xspacing attr "
+                                 f"(pass sample_rate=)")
             return StrainSeries(data, 0.0 if x0 is None else float(x0),
                                 1.0 / float(dx))
         if "strain" in f and "Strain" in f["strain"]:
@@ -137,8 +144,9 @@ def _read_ascii(path, t0, sample_rate):
                     if _is_number(w)]
             if vals:
                 header_rate = float(vals[-1])
+    base = path[:-3] if path.endswith(".gz") else path
     raw = np.loadtxt(path, comments="#",
-                     delimiter="," if path.endswith(".csv") else None)
+                     delimiter="," if base.endswith(".csv") else None)
     if raw.ndim == 2 and raw.shape[1] >= 2:
         times, data = raw[:, 0], raw[:, 1]
         dt = np.median(np.diff(times))
@@ -202,8 +210,10 @@ def welch_psd(series: StrainSeries, segment_duration, overlap=0.5,
     else:
         psd = np.mean(periodograms, axis=0)
     # DC and Nyquist bins are half-counted in the one-sided convention
+    # (the last rfft bin IS Nyquist only for even segment lengths)
     psd[0] *= 0.5
-    psd[-1] *= 0.5
+    if nper % 2 == 0:
+        psd[-1] *= 0.5
     return freqs, psd
 
 
@@ -214,7 +224,6 @@ def tukey_window(n, alpha):
         return np.ones(n)
     if alpha >= 1:
         return np.hanning(n)
-    edge = int(np.floor(alpha * (n - 1) / 2.0))
     t = np.arange(n) / (n - 1.0)
     w = np.ones(n)
     left = t < alpha / 2.0
@@ -276,6 +285,14 @@ def interferometer_from_data(name, series: StrainSeries, trigger_time,
 
     band = (freqs >= f_min) & (freqs <= f_max)
     psd_interp = np.interp(freqs[band], psd_f, psd_v)
+    # Tukey window factor (bilby strain_data.window_factor): the
+    # analysis segment is windowed, so its NOISE power is the
+    # unwindowed-noise PSD times mean(w^2) — without this every inner
+    # product is biased high by 1/mean(w^2) (~0.4% at the 128 s
+    # default, ~14% at duration=4 s with the 0.4 s roll-off)
+    alpha = 2.0 * roll_off / segment.duration
+    win = tukey_window(len(segment.data), alpha)
+    psd_interp = psd_interp * float(np.mean(win ** 2))
     # rotate to the template convention: the likelihood's waveforms put
     # the merger at zero time offset, while in the segment the trigger
     # sits (duration - post_trigger) after the start — undo that linear

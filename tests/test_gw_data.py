@@ -253,3 +253,54 @@ def test_calibration_marginalization(injected_ifos):
         calibration_draws=draws, phase_marginalization=True,
         distance_marginalization=True, distance_bounds=(100.0, 3000.0))
     assert np.isfinite(float(jax.jit(lk_all.log_likelihood_ratio)(INJ)))
+
+
+def test_psd_carries_tukey_window_factor():
+    """The analysis segment is Tukey-windowed, so the stored PSD must be
+    the unwindowed-noise PSD times mean(w^2) (bilby window_factor) —
+    otherwise every inner product is biased high by 1/mean(w^2)."""
+    from nmma_tpu.gw.strain import (StrainSeries, interferometer_from_data,
+                                    tukey_window)
+    rng = np.random.default_rng(0)
+    fs, t_len = 512.0, 40.0
+    series = StrainSeries(rng.normal(0, 1e-22, int(fs * t_len)),
+                          1000000000.0, fs)
+    duration, roll_off = 4.0, 0.4
+    flat = 1.7e-45
+    freqs = np.linspace(0.0, fs / 2, 200)
+    ifo = interferometer_from_data(
+        "H1", series, trigger_time=1000000000.0 + 36.0,
+        duration=duration, post_trigger=2.0, f_min=20.0, f_max=200.0,
+        psd=(freqs, np.full_like(freqs, flat)), roll_off=roll_off)
+    n = int(duration * fs)
+    win = tukey_window(n, 2.0 * roll_off / duration)
+    wf = np.mean(win**2)
+    assert abs(wf - (1.0 - 5.0 * (2 * roll_off / duration) / 8.0)) < 1e-3
+    np.testing.assert_allclose(np.asarray(ifo.psd), flat * wf, rtol=1e-6)
+
+
+def test_csv_gz_strain(tmp_path):
+    import gzip
+
+    from nmma_tpu.gw.strain import read_strain_file
+    t = 1000000000.0 + np.arange(512) / 256.0
+    d = np.sin(t)
+    rows = "\n".join(f"{a},{b}" for a, b in zip(t, d))
+    path = tmp_path / "strain.csv.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(rows + "\n")
+    s = read_strain_file(str(path))
+    assert abs(s.sample_rate - 256.0) < 1e-6
+    np.testing.assert_allclose(s.data, d)
+
+
+def test_generic_hdf5_with_explicit_metadata(tmp_path):
+    import h5py
+
+    from nmma_tpu.gw.strain import read_strain_file
+    path = tmp_path / "x.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=np.arange(64, dtype=float))
+    s = read_strain_file(str(path), channel="data", t0=5.0,
+                         sample_rate=128.0)
+    assert s.t0 == 5.0 and s.sample_rate == 128.0
