@@ -60,12 +60,15 @@ class TOVEmulator:
         mtov, radii, loglam = self.forward(theta)
         p["TOV_mass"] = mtov
         grid = jnp.asarray(self.x_grid)
-        # no NS of that mass exists when MTOV < 1.4 (1.6): NaN, matching
-        # the BH masking applied to radius_i/lambda_i below
+        # no NS of that mass exists when MTOV < 1.4 (1.6): 0.0, the
+        # SAME convention as TabulatedEOSSet / the reference's
+        # np.interp(..., right=0) — a NaN here flows through
+        # bns_log10_disk_mass into NaN light curves and auto-rejects
+        # configurations the reference evaluates finitely
         p["R_14"] = jnp.where(mtov >= 1.4,
-                              jnp.interp(1.4 / mtov, grid, radii), jnp.nan)
+                              jnp.interp(1.4 / mtov, grid, radii), 0.0)
         p["R_16"] = jnp.where(mtov >= 1.6,
-                              jnp.interp(1.6 / mtov, grid, radii), jnp.nan)
+                              jnp.interp(1.6 / mtov, grid, radii), 0.0)
         p["TOV_radius"] = radii[-1]
         if "mass_1_source" in p:
             for i in (1, 2):
@@ -130,14 +133,35 @@ def train_tov_emulator(crust_table, param_ranges=None, n_train=128,
     lows = np.array([param_ranges[k][0] for k in names])
     highs = np.array([param_ranges[k][1] for k in names])
 
+    if "S0" not in param_ranges or "L" not in param_ranges:
+        raise ValueError(
+            f"param_ranges must include 'S0' and 'L' (got "
+            f"{sorted(param_ranges)})")
+    # any further sampled parameters are forwarded BY NAME to the NEP
+    # expansion (positional *th unpacking silently swapped S0/L for
+    # differently-ordered dicts and dropped extra parameters entirely)
+    from inspect import signature
+
+    from .generation import eos_from_nep
+    extra_names = [k for k in names if k not in ("S0", "L")]
+    allowed = set(signature(eos_from_nep).parameters)
+    unknown = [k for k in extra_names if k not in allowed]
+    if unknown:
+        raise ValueError(
+            f"unknown NEP parameter(s) {unknown}; eos_from_nep accepts "
+            f"{sorted(allowed)}")
+
     rng = np.random.default_rng(seed)
     thetas = rng.uniform(lows, highs, (n_train, len(names)))
     targets = []
     keep = []
     for i, th in enumerate(thetas):
+        sampled = dict(zip(names, th))
+        kw = dict(nep_kwargs)
+        kw.update({k: sampled[k] for k in extra_names})
         try:
             mtov, radii, loglam = _macro_targets(
-                *th[:2], crust_table, x_grid, **nep_kwargs)
+                sampled["S0"], sampled["L"], crust_table, x_grid, **kw)
         except Exception:
             continue
         if not (1.2 < mtov < 3.5) or not np.all(np.isfinite(radii)):

@@ -27,18 +27,34 @@ from ..constants import geom_msun_km
 
 
 class EOSTable:
-    """Micro EOS (nuclear units, MeV/fm^3) with jittable interpolators."""
+    """Micro EOS (nuclear units, MeV/fm^3) with jittable interpolators.
+
+    ``number_density`` [fm^-3], when given, is filtered/sorted alongside
+    (e, p) and kept on ``self.number_density`` for n-based queries (the
+    reference caps families at p(n_lim), eos_gen.py)."""
 
     def __init__(self, energy_density, pressure, number_density=None):
         e = np.asarray(energy_density, dtype=np.float64)
         p = np.asarray(pressure, dtype=np.float64)
+        n = (np.asarray(number_density, dtype=np.float64)
+             if number_density is not None else None)
         keep = (e > 0) & (p > 0)
         e, p = e[keep], p[keep]
+        if n is not None:
+            n = n[keep]
         order = np.argsort(p)
         e, p = e[order], p[order]
+        self.number_density = n[order] if n is not None else None
 
-        # pseudo-enthalpy h(p) = int_0^p dp'/(e + p')  (log-spaced trapezoid,
-        # as in the reference's table construction, eos_gen.py)
+        # pseudo-enthalpy h(p) = int dp'/(e + p'), LINEAR-in-p trapezoid.
+        # Convention chosen by measurement against the reference's
+        # shipped macro table (tests/test_eos.py): linear trapezoid
+        # lands within 1.4% in mass, the reference code's own
+        # cumtrapz(p/(e+p), log p) form (eos_gen.py:244-247) within
+        # 2.2%, and a dense 20k-node exact integral within 6.4% — the
+        # artifact was evidently generated with yet another low-density
+        # treatment, so artifact parity (the measurable criterion)
+        # picks the linear form.
         integrand = 1.0 / (e + p)
         h = np.concatenate([
             [p[0] * integrand[0]],

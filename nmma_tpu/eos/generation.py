@@ -4,7 +4,10 @@ Counterpart of ``eos_from_nep`` (``nmma/eos/eos_gen.py:9-63``): a
 metamodel Taylor expansion of the energy per particle around saturation
 density for symmetric matter plus the symmetry energy,
 
-  E/A(n, x) = E_SNM(n) + E_sym(n) (1 - 2x)^2|_{x fixed},
+  E/A(n, x) = E_SNM(n) + E_sym(n) (1 - 2x)|_{x fixed}
+  (LINEAR in (1-2x) — the reference's EA_beta convention,
+  eos_gen.py:47-49; the textbook metamodel uses delta^2 = (1-2x)^2,
+  so this is a deliberate parity choice, not a typo),
   E_SNM = Esat + Ksat u^2/2 + Qsat u^3/6 + Zsat u^4/24,
   E_sym = S0 + L u + Ksym u^2/2 + Qsym u^3/6 + Zsym u^4/24,
   u = (n - nsat) / (3 nsat),

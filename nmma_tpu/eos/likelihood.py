@@ -108,9 +108,24 @@ class MassRadiusConstraint:
     def __call__(self, parameters, curves):
         """curves: dict with 'masses' [M] and 'radii' [M] (mass-sorted)."""
         tov = jnp.asarray(parameters["TOV_mass"])
-        masses, radii = curves["masses"], curves["radii"]
-        test_radii = jnp.interp(self.test_masses, masses, radii)
+        masses, radii = jnp.asarray(curves["masses"]), \
+            jnp.asarray(curves["radii"])
+        # beyond-MTOV rows carry 0.0 radii (TabulatedEOSSet padding):
+        # forward-fill them with the last physical radius so the
+        # interpolation in the bin just below MTOV is not pulled toward
+        # 0 km (the reference interpolates the truncated curve with
+        # flat-right extrapolation, eos_likelihood.py single_logl)
+        idx = jnp.arange(radii.shape[0])
+        last_good = jax.lax.cummax(jnp.where(radii > 0.0, idx, 0))
+        radii_ff = radii[last_good]
+        test_radii = jnp.interp(self.test_masses, masses, radii_ff)
         below_tov = self.test_masses < tov
+        # outside the histogram's support -> zero probability, not the
+        # nearest edge bin's density
+        in_support = ((test_radii >= self.rad_edges[0])
+                      & (test_radii <= self.rad_edges[-1])
+                      & (self.test_masses >= self.mass_edges[0])
+                      & (self.test_masses <= self.mass_edges[-1]))
 
         yi = jnp.clip(
             jnp.sum(self.test_masses[:, None] > self.mass_edges[1:][None, :],
@@ -119,7 +134,7 @@ class MassRadiusConstraint:
             jnp.sum(test_radii[:, None] > self.rad_edges[1:][None, :],
                     axis=1), 0, self.histogram.shape[0] - 1)
         vals = self.histogram[xi, yi]
-        total = jnp.sum(jnp.where(below_tov, vals, 0.0))
+        total = jnp.sum(jnp.where(below_tov & in_support, vals, 0.0))
         return jnp.log(jnp.maximum(total, 1e-300))
 
 

@@ -116,7 +116,11 @@ def construct_family(eos, n_points=64, pc_min=None, pc_max=None):
     maximum mass by the caller (mask where M decreases).
     """
     if pc_min is None:
-        pc_min = float(eos.pressure_range[0]) * 4.0
+        # the reference starts the family at a FIXED 3.5 MeV/fm^3
+        # (eos_gen.py construct_family): tying pc_min to the table's
+        # minimum pressure (~1e-19 for crust tables) spreads the grid
+        # over ~21 decades and leaves the NS branch nearly unresolved
+        pc_min = max(3.5, float(eos.pressure_range[0]) * 1.01)
     if pc_max is None:
         pc_max = float(eos.pressure_range[1]) * 0.99
     pcs = jnp.geomspace(pc_min, pc_max, n_points)
