@@ -65,6 +65,15 @@ MODEL_PARAMETERS = {
     "Bu2023Ye": ["log10_mej_dyn", "vej_dyn", "Yedyn", "log10_mej_wind",
                  "vej_wind", "Yewind", "KNtheta"],
     "LANL2022": ["log10_mej_dyn", "vej_dyn", "log10_mej_wind", "vej_wind", "KNtheta"],
+    # LANL wind-morphology grid variants: identical parameter lists to
+    # LANL2022 (reference nmma/em/model.py:104-131) — distinct names select
+    # distinct training grids via GRID_PARSERS.
+    "LANLTP1": ["log10_mej_dyn", "vej_dyn", "log10_mej_wind", "vej_wind", "KNtheta"],
+    "LANLTP2": ["log10_mej_dyn", "vej_dyn", "log10_mej_wind", "vej_wind", "KNtheta"],
+    "LANLTS1": ["log10_mej_dyn", "vej_dyn", "log10_mej_wind", "vej_wind", "KNtheta"],
+    "LANLTS2": ["log10_mej_dyn", "vej_dyn", "log10_mej_wind", "vej_wind", "KNtheta"],
+    # toy example grid (reference nmma/em/model.py:72, model_parameters.py:84)
+    "CV": ["example_num"],
 }
 
 

@@ -76,6 +76,42 @@ _register("AnBa2022_log", ["log10_mtot", "log10_mni", "vej", "log10_mrp",
 _register("AnBa2022_sparse", ["mrp", "xmix"], [3, 4])
 
 
+def _parse_bu2023ye(filename):
+    """Bu2023Ye grid parser (reference model_parameters.py:213-246):
+    seven leading numbers, |.| applied, masses in log10."""
+    stem = os.path.basename(filename)
+    for ext in (".csv", ".txt", ".dat", ".hdf5", ".h5"):
+        stem = stem.replace(ext, "")
+    vals = [abs(float(x)) for x in re.findall(_NUM_RE, stem)]
+    names = ["log10_mej_dyn", "vej_dyn", "Yedyn", "log10_mej_wind",
+             "vej_wind", "Yewind", "KNtheta"]
+    out = dict(zip(names, vals))
+    out["log10_mej_dyn"] = np.log10(out["log10_mej_dyn"])
+    out["log10_mej_wind"] = np.log10(out["log10_mej_wind"])
+    return out
+
+
+GRID_PARSERS["Bu2023Ye"] = (
+    _parse_bu2023ye,
+    ["log10_mej_dyn", "vej_dyn", "Yedyn", "log10_mej_wind", "vej_wind",
+     "Yewind", "KNtheta"])
+
+
+def _parse_cv(filename):
+    """Toy 'CV' example grid (reference model_parameters.py:84-96): one
+    parameter per file. The reference assigns the enumeration index; here
+    the first number in the filename is used (falling back to 0.0), which
+    is stable under any file ordering."""
+    stem = os.path.basename(filename)
+    for ext in (".csv", ".txt", ".dat", ".hdf5", ".h5"):
+        stem = stem.replace(ext, "")
+    vals = re.findall(_NUM_RE, stem)
+    return {"example_num": float(vals[0]) if vals else 0.0}
+
+
+GRID_PARSERS["CV"] = (_parse_cv, ["example_num"])
+
+
 def _parse_lanl(filename):
     """LANL grid filename parser (reference get_knprops_from_LANLfilename,
     nmma/em/utils.py:1039-1140): two-component morphology files like
