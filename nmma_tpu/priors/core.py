@@ -204,8 +204,11 @@ class LogNormal(Prior):
         return jnp.exp(self.mu + self.sigma * ndtri(u))
 
     def log_prob(self, x):
-        lx = jnp.log(x)
-        return jnorm.logpdf(lx, self.mu, self.sigma) - lx
+        x = jnp.asarray(x)
+        lx = jnp.log(jnp.maximum(x, 1e-300))
+        return jnp.where(x > 0.0,
+                         jnorm.logpdf(lx, self.mu, self.sigma) - lx,
+                         -jnp.inf)
 
 
 class Interped(Prior):
@@ -251,6 +254,52 @@ class Interped(Prior):
         dens = jnp.interp(x, self.xx, self.yy, left=0.0, right=0.0)
         return jnp.log(jnp.maximum(dens, 1e-300))
 
+
+
+class UniformComovingVolume(Interped):
+    """Luminosity-distance prior uniform in comoving volume.
+
+    Counterpart of ``bilby.gw.prior.UniformComovingVolume`` as used in the
+    reference's joint prior files (e.g.
+    example_files/prior/GW170817_AT2017gfo_GRB170817A.prior:11):
+    p(d_L) ~ dV_c/dd_L under the fiducial cosmology, tabulated on a dense
+    d_L grid and inverted as an Interped prior.
+    """
+
+    def __init__(self, minimum, maximum, name=None, latex_label=None,
+                 cosmology=None, **kwargs):
+        from ..cosmology import get_cosmology
+        cosmo = cosmology or get_cosmology()
+        dl = np.linspace(float(minimum), float(maximum), 2048)
+        z = np.interp(dl, np.asarray(cosmo.dl_grid),
+                      np.asarray(cosmo.z_grid))
+        # dV_c/dz ~ D_c^2 / E(z); D_c = d_L / (1 + z) (flat)
+        dc = dl / (1.0 + z)
+        dvc_dz = dc * dc * np.asarray(cosmo._inv_efunc(z))
+        # dz/dd_L from the tabulated curve
+        dz_ddl = np.gradient(z, dl)
+        density = np.maximum(dvc_dz * dz_ddl, 0.0)
+        super().__init__(dl, density, minimum=minimum, maximum=maximum,
+                         name=name, latex_label=latex_label)
+
+
+class UniformSourceFrame(Interped):
+    """d_L prior uniform in comoving volume AND source-frame time:
+    p(d_L) ~ (dV_c/dd_L) / (1 + z) (bilby.gw.prior.UniformSourceFrame)."""
+
+    def __init__(self, minimum, maximum, name=None, latex_label=None,
+                 cosmology=None, **kwargs):
+        from ..cosmology import get_cosmology
+        cosmo = cosmology or get_cosmology()
+        dl = np.linspace(float(minimum), float(maximum), 2048)
+        z = np.interp(dl, np.asarray(cosmo.dl_grid),
+                      np.asarray(cosmo.z_grid))
+        dc = dl / (1.0 + z)
+        dvc_dz = dc * dc * np.asarray(cosmo._inv_efunc(z))
+        dz_ddl = np.gradient(z, dl)
+        density = np.maximum(dvc_dz * dz_ddl / (1.0 + z), 0.0)
+        super().__init__(dl, density, minimum=minimum, maximum=maximum,
+                         name=name, latex_label=latex_label)
 
 
 class WeightedCategorical(Prior):

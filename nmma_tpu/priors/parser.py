@@ -36,7 +36,26 @@ _NAMESPACE = {
     "ConditionalGaussianIotaGivenThetaCore":
         core.ConditionalGaussianIotaGivenThetaCore,
     "NMMADummyPrior": core.NMMADummyPrior,
+    "UniformComovingVolume": core.UniformComovingVolume,
+    "UniformSourceFrame": core.UniformSourceFrame,
 }
+
+
+class _Namespace:
+    """Attribute bag so reference prior files can say
+    ``bilby.gw.prior.UniformComovingVolume(...)`` verbatim
+    (example_files/prior/GW170817_AT2017gfo_GRB170817A.prior:11)."""
+
+    def __init__(self, **attrs):
+        self.__dict__.update(attrs)
+
+
+_BILBY_PRIOR_NS = _Namespace(**{k: v for k, v in _NAMESPACE.items()
+                                if isinstance(v, type)})
+_NAMESPACE["bilby"] = _Namespace(
+    gw=_Namespace(prior=_BILBY_PRIOR_NS),
+    core=_Namespace(prior=_BILBY_PRIOR_NS),
+)
 
 
 def _eval_rhs(rhs: str):

@@ -137,3 +137,30 @@ def test_h5_dummy_prior_surgery(tmp_path, rng):
                                1.19, atol=2e-3)
     h0 = np.asarray(out["Hubble_constant"])
     assert abs(np.median(h0) - 70.0) < 2.0
+
+
+def test_uniform_comoving_volume_prior():
+    """bilby.gw.prior.UniformComovingVolume in reference prior files parses
+    and inverts to ~dL^2 at low redshift (median of p ~ x^2 on [1, 75] is
+    75 / 2^(1/3) ~ 59.5)."""
+    from nmma_tpu.priors.parser import parse_prior_dict
+
+    pd = parse_prior_dict(
+        "luminosity_distance = bilby.gw.prior.UniformComovingVolume("
+        "name='luminosity_distance', minimum=1, maximum=75, unit='Mpc', "
+        "boundary='reflective')\n")
+    p = pd["luminosity_distance"]
+    med = float(p.transform(jnp.asarray(0.5)))
+    assert abs(med - 59.5) < 1.0
+    lo = float(p.transform(jnp.asarray(0.0)))
+    hi = float(p.transform(jnp.asarray(1.0)))
+    assert lo >= 1.0 - 1e-6 and hi <= 75.0 + 1e-6
+
+
+def test_reference_joint_grb_prior_file_loads():
+    pd_full = __import__("nmma_tpu.priors", fromlist=["load_prior_file"]) \
+        .load_prior_file(
+            "/root/reference/example_files/prior/"
+            "GW170817_AT2017gfo_GRB170817A.prior")
+    assert "luminosity_distance" in pd_full.sampled_names
+    assert pd_full.ndim == 22
