@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CODE = """
 import os, sys, time
 import numpy as np
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 import jax, jax.numpy as jnp
 import bench
 ana, svd = bench.build_svd_analysis()
@@ -50,12 +50,14 @@ def main():
         env["NMMA_TPU_EM_CONTRACT"] = em_mode
         if pallas:
             env.pop("NMMA_TPU_DISABLE_PALLAS", None)
+            env["NMMA_TPU_SVD_PALLAS"] = "1"   # kernel is opt-in
         else:
             env["NMMA_TPU_DISABLE_PALLAS"] = "1"
+            env.pop("NMMA_TPU_SVD_PALLAS", None)
         print(f"--- svd={svd_mode} em={em_mode} pallas={pallas}",
               flush=True)
         r = subprocess.run(
-            [sys.executable, "-u", "-c", CODE.format(repo=REPO)],
+            [sys.executable, "-u", "-c", CODE.replace("__REPO__", repr(REPO))],
             env=env, capture_output=True, text=True, timeout=1800)
         sys.stdout.write(r.stdout)
         if r.returncode != 0:
