@@ -407,9 +407,10 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     log_q = jnp.log(t_obs)                                         # [T]
 
     # EATS resampling + synchrotron flux, summed over phi: dispatched
-    # through a custom-vmap primitive — batched TPU evaluation runs the
-    # VMEM-resident Pallas kernel (ops/pallas_grb.py), everything else
-    # the XLA hat-contraction form below.
+    # through a custom-vmap primitive — the XLA hat-contraction form
+    # below by default (measured fastest on the v5e); the VMEM-resident
+    # Pallas kernel (ops/pallas_grb.py) is opt-in via
+    # NMMA_TPU_GRB_PALLAS=1.
     scal = jnp.stack([jnp.asarray(z, jnp.float32) * jnp.ones(()),
                       jnp.cos(theta_v), jnp.sin(theta_v),
                       jnp.asarray(p) * jnp.ones(()),
@@ -530,10 +531,11 @@ def _eats_stage2(t_delay, log_tracks, r_grid, scal, log_q, cphi, nu_obs):
 @_eats_stage2.def_vmap
 def _eats_stage2_vmap(axis_size, in_batched, t_delay, log_tracks, r_grid,
                       scal, log_q, cphi, nu_obs):
-    """Batched rule: a live-point batch on TPU goes through the Pallas
-    EATS kernel, which keeps every [T, R] hat matrix in VMEM (the XLA
-    einsum form round-trips ~19 GB of hat tensors through HBM per
-    256-theta batch); elsewhere fall back to vmapped XLA."""
+    """Batched rule: NMMA_TPU_GRB_PALLAS=1 routes a live-point batch on
+    TPU through the Pallas EATS kernel (VMEM-resident hat matrices);
+    default is the vmapped XLA hat contraction — measured 2.5x faster
+    on the v5e despite its ~19 GB HBM hat traffic per 256-theta batch
+    (69.7 ms vs 177 ms, B=256; see ops/pallas_grb.py)."""
     batched = in_batched[:4]
     aux = in_batched[4:]
     ranks_ok = (t_delay.ndim == 3 if in_batched[0] else t_delay.ndim == 2)
@@ -542,6 +544,7 @@ def _eats_stage2_vmap(axis_size, in_batched, t_delay, log_tracks, r_grid,
                   and t_delay.shape[-1] % 128 == 0
                   and log_q.shape[0] % 8 == 0
                   and jax.default_backend() == "tpu"
+                  and os.environ.get("NMMA_TPU_GRB_PALLAS")
                   and not os.environ.get("NMMA_TPU_DISABLE_PALLAS"))
     if use_pallas:
         from ..ops.pallas_grb import eats_flux_pallas

@@ -3,14 +3,22 @@
 The XLA formulation (``models/grb.py`` ``_eats_stage2_xla``) builds a
 [T, R] hat-basis matrix per surface element; XLA's algebraic simplifier
 pattern-matches the multiply+reduce into an MXU dot, which forces every
-hat matrix out to HBM — ~19 GB of traffic per 256-theta batch, the
-measured bottleneck of the GRB likelihood (it dominates BASELINE configs
-3/4). This kernel keeps each hat matrix entirely in VMEM: each program
-owns one (live point, theta ring) pair, loops over the phi samples,
-builds the hat, contracts it against the six log-space dynamical tracks
-on the VPU (f32 accumulate — no bf16 MXU precision loss), applies the
-Doppler/synchrotron flux math, and accumulates the phi sum in registers.
+hat matrix out to HBM — ~19 GB of traffic per 256-theta batch. This
+kernel keeps each hat matrix entirely in VMEM: each program owns one
+(live point, theta ring) pair, processes all phi samples as one
+[Ph*T, R] block, contracts the hat against the six log-space dynamical
+tracks on the VPU (f32 accumulate — no bf16 MXU precision loss),
+applies the Doppler/synchrotron flux math, and reduces the phi sum.
 Only the tiny [T, F] per-ring flux leaves the chip.
+
+**Measured on the v5e (2026-08-18, B=256, T=64, F=2, trumpet
+default): XLA 69.7 ms vs Pallas 177 ms** — the MXU dot amortizes the
+HBM round-trips better than the VPU elementwise form despite the 25x
+traffic. (The first, serialized per-phi variant measured 640 ms; the
+batched-phi rewrite recovered 3.6x but not the lead.) The kernel is
+therefore OPT-IN via ``NMMA_TPU_GRB_PALLAS=1``; the XLA hat
+contraction is the default, mirroring the SVD-kernel decision
+(ops/pallas_svd.py). On-device parity 3.9e-4 relative.
 
 The arrival-time map log t_obs(R) (with the trumpet-spreading cummax,
 which Mosaic has no cheap primitive for) is precomputed by XLA in
@@ -39,87 +47,108 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
                  out_ref):
     """One (live point, theta ring): phi-summed flux elements [T, F_pad].
 
-    Blocks: scal (1, 8) SMEM per point; cphi (1, Ph) SMEM shared;
-    lq (T, R) VMEM shared (log_q broadcast over lanes); nu (8, F_pad)
-    VMEM shared (row 0 = observed frequencies, padded with 1.0);
-    logt (1, 1, Ph, R) VMEM; tracks (1, 1, 8, R) VMEM (rows 0-5 = log
-    gamma/nu_m'/nu_c'/P'max/N_e50/theta, rows 6-7 zero); out
+    All phi samples are processed as ONE [Ph*T, R] block — a serialized
+    per-phi loop with a loop-carried accumulator starves the VPU (measured
+    640 ms vs 91 ms XLA per 128-chunk); the batched form exposes the full
+    [Ph*T, R] elementwise surface to Mosaic's vectorizer and unrolls the
+    six track contractions statically.
+
+    Blocks: scal (chunk, 8) SMEM whole-array (row = program_id 0; a
+    (1, 8) block of a (chunk, 8) array violates Mosaic's sublane tiling
+    on real TPUs); cphi (Ph, 128) VMEM shared (cos phi broadcast over
+    lanes); lq (T, R) VMEM shared (log_q broadcast over lanes); nu
+    (8, F_pad) VMEM shared (row 0 = observed frequencies, padded with
+    1.0); logt (1, 1, Ph, R) VMEM; tracks (1, 1, 8, R) VMEM (rows 0-5 =
+    log gamma/nu_m'/nu_c'/P'max/N_e50/theta, rows 6-7 zero); out
     (1, 1, T, F_pad) VMEM.
     """
     n_phi = logt_ref.shape[2]
     n_t = lq_ref.shape[0]
     f_pad = out_ref.shape[3]
+    pt = n_phi * n_t
 
-    z = scal_ref[0, 0]
-    cos_tv = scal_ref[0, 1]
-    sin_tv = scal_ref[0, 2]
-    p = scal_ref[0, 3]
+    i = pl.program_id(0)
+    z = scal_ref[i, 0]
+    cos_tv = scal_ref[i, 1]
+    sin_tv = scal_ref[i, 2]
+    p = scal_ref[i, 3]
 
-    lq = lq_ref[:, :]                                   # [T, R]
-    lq_col = lq[:, 0:1]                                 # [T, 1]
-    tr8 = tracks_ref[0, 0, :, :]                        # [8, R]
+    lq3 = lq_ref[:, :][None, :, :]                      # [1, T, R]
     nu_row = nu_ref[0:1, :]                             # [1, F_pad]
     one_p_z = 1.0 + z
 
-    def phi_body(ph, acc):
-        lt = logt_ref[0, 0, pl.ds(ph, 1), :]            # [1, R]
-        cphi_el = cphi_ref[0, ph]
-        x_l = jnp.concatenate([lt[:, :1], lt[:, :-1]], axis=1)
-        x_r = jnp.concatenate([lt[:, 1:], lt[:, -1:]], axis=1)
-        inv_dl = 1.0 / jnp.maximum(lt - x_l, 1e-12)
-        inv_dr = 1.0 / jnp.maximum(x_r - lt, 1e-12)
-        up = (lq - x_l) * inv_dl
-        dn = (x_r - lq) * inv_dr
-        hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)   # [T, R]
-        # normalization (duplicate cummax-plateau nodes each claim
-        # weight 1) folded in as the denominator of the convex combo
-        denom = jnp.maximum(jnp.sum(hat, axis=1, keepdims=True), 1.0)
-        raw = jnp.sum(hat[:, None, :] * tr8[None, :, :], axis=-1)  # [T, 8]
-        vals = jnp.exp(raw / denom)                     # [T, 8]
+    lt = logt_ref[0, 0, :, :]                           # [Ph, R]
+    x_l = jnp.concatenate([lt[:, :1], lt[:, :-1]], axis=1)
+    x_r = jnp.concatenate([lt[:, 1:], lt[:, -1:]], axis=1)
+    inv_dl = (1.0 / jnp.maximum(lt - x_l, 1e-12))[:, None, :]
+    inv_dr = (1.0 / jnp.maximum(x_r - lt, 1e-12))[:, None, :]
+    x_l3 = x_l[:, None, :]                              # [Ph, 1, R]
+    x_r3 = x_r[:, None, :]
+    up = (lq3 - x_l3) * inv_dl                          # [Ph, T, R]
+    dn = (x_r3 - lq3) * inv_dr
+    hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0).reshape(pt, lt.shape[1])
+    # normalization (duplicate cummax-plateau nodes each claim weight 1)
+    # folded in as the denominator of the convex combination
+    inv_denom = 1.0 / jnp.maximum(
+        jnp.sum(hat, axis=1, keepdims=True), 1.0)       # [Ph*T, 1]
 
-        in_r = (lq_col >= lt[:, 0:1]) & (lq_col <= lt[:, -1:])    # [T, 1]
-        g = vals[:, 0:1]
-        num = vals[:, 1:2]
-        nuc = vals[:, 2:3]
-        pmax = vals[:, 3:4]
-        ne50 = jnp.where(in_r, vals[:, 4:5], 0.0)
-        th_t = vals[:, 5:6]
+    # in-range ⟺ lq ∈ [lt0, lt_last]; the per-column hat supports
+    # [x_l_k, x_r_k] union to exactly that interval, and the full-lane
+    # compare+reduce avoids (1,1)-vector broadcasts that Mosaic rejects
+    # ("Invalid input layout" on this toolchain)
+    in_r = jnp.max(
+        jnp.where((lq3 >= x_l3) & (lq3 <= x_r3), 1.0, 0.0),
+        axis=2, keepdims=True).reshape(pt, 1) > 0.5     # [Ph*T, 1]
 
-        be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (g * g), 0.0))
-        mu_t = cos_tv * jnp.cos(th_t) + sin_tv * jnp.sin(th_t) * cphi_el
-        doppler = 1.0 / (g * (1.0 - be * mu_t) + 1e-12)           # [T, 1]
+    # six static track contractions (rows 6-7 of tracks are zero padding)
+    def track(k):
+        row = tracks_ref[0, 0, k:k + 1, :]              # [1, R]
+        raw = jnp.sum(hat * row, axis=1, keepdims=True)
+        return jnp.exp(raw * inv_denom)                 # [Ph*T, 1]
 
-        nu_prime = nu_row * (one_p_z / doppler)                   # [T, F]
-        # broken power-law synchrotron spectrum (SPN98), slow + fast
-        # cooling — identical branch structure to _synchrotron_shape;
-        # power() spelled exp(e log x) (operands strictly positive)
-        l_nu = jnp.log(nu_prime)
-        l_num = jnp.log(num)
-        l_nuc = jnp.log(nuc)
-        third = jnp.float32(1.0 / 3.0)
-        e_mid = -(p - 1.0) / 2.0
-        e_hi = -p / 2.0
-        slow = jnp.where(
-            nu_prime < num,
-            jnp.exp(third * (l_nu - l_num)),
-            jnp.where(nu_prime < nuc,
-                      jnp.exp(e_mid * (l_nu - l_num)),
-                      jnp.exp(e_mid * (l_nuc - l_num)
-                              + e_hi * (l_nu - l_nuc))))
-        fast = jnp.where(
-            nu_prime < nuc,
-            jnp.exp(third * (l_nu - l_nuc)),
-            jnp.where(nu_prime < num,
-                      jnp.exp(-0.5 * (l_nu - l_nuc)),
-                      jnp.exp(-0.5 * (l_num - l_nuc)
-                              + e_hi * (l_nu - l_num))))
-        shape = jnp.where(num <= nuc, slow, fast)                 # [T, F]
-        flux = (one_p_z * doppler * doppler * doppler
-                * pmax * ne50) * shape
-        return acc + flux
+    g = track(0)
+    num = track(1)
+    nuc = track(2)
+    pmax = track(3)
+    ne50 = jnp.where(in_r, track(4), 0.0)
+    th_t = track(5)
 
-    acc0 = jnp.zeros((n_t, f_pad), jnp.float32)
-    out_ref[0, 0, :, :] = jax.lax.fori_loop(0, n_phi, phi_body, acc0)
+    cphi_el = jnp.broadcast_to(
+        cphi_ref[:, 0:1][:, None, :], (n_phi, n_t, 1)).reshape(pt, 1)
+
+    be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (g * g), 0.0))
+    mu_t = cos_tv * jnp.cos(th_t) + sin_tv * jnp.sin(th_t) * cphi_el
+    doppler = 1.0 / (g * (1.0 - be * mu_t) + 1e-12)     # [Ph*T, 1]
+
+    nu_prime = nu_row * (one_p_z / doppler)             # [Ph*T, F]
+    # broken power-law synchrotron spectrum (SPN98), slow + fast
+    # cooling — identical branch structure to _synchrotron_shape;
+    # power() spelled exp(e log x) (operands strictly positive)
+    l_nu = jnp.log(nu_prime)
+    l_num = jnp.log(num)
+    l_nuc = jnp.log(nuc)
+    third = jnp.float32(1.0 / 3.0)
+    e_mid = -(p - 1.0) / 2.0
+    e_hi = -p / 2.0
+    slow = jnp.where(
+        nu_prime < num,
+        jnp.exp(third * (l_nu - l_num)),
+        jnp.where(nu_prime < nuc,
+                  jnp.exp(e_mid * (l_nu - l_num)),
+                  jnp.exp(e_mid * (l_nuc - l_num)
+                          + e_hi * (l_nu - l_nuc))))
+    fast = jnp.where(
+        nu_prime < nuc,
+        jnp.exp(third * (l_nu - l_nuc)),
+        jnp.where(nu_prime < num,
+                  jnp.exp(-0.5 * (l_nu - l_nuc)),
+                  jnp.exp(-0.5 * (l_num - l_nuc)
+                          + e_hi * (l_nu - l_num))))
+    shape = jnp.where(num <= nuc, slow, fast)           # [Ph*T, F]
+    flux = (one_p_z * doppler * doppler * doppler
+            * pmax * ne50) * shape
+    out_ref[0, 0, :, :] = jnp.sum(
+        flux.reshape(n_phi, n_t, f_pad), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -160,6 +189,11 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
     lq2d = jnp.broadcast_to(log_q[:, None].astype(jnp.float32),
                             (n_t, n_r))
     cphi2d = cphi[None, :].astype(jnp.float32)                  # [1, Ph]
+    # lane-broadcast copy for the kernel (VMEM column reads; SMEM holds
+    # scalars only and per-element SMEM reads in a batched-phi kernel
+    # would serialize)
+    cphi_v = jnp.broadcast_to(cphi[:, None].astype(jnp.float32),
+                              (n_phi, 128))
     nu_pad = jnp.ones((8, f_pad), jnp.float32)
     nu_pad = nu_pad.at[0, :n_f].set(nu_obs.astype(jnp.float32))
 
@@ -186,10 +220,10 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
             grid=(chunk, n_theta),
             interpret=interpret,
             in_specs=[
-                pl.BlockSpec((1, 8), lambda i, j: (i, 0),
+                pl.BlockSpec((chunk, 8), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n_phi), lambda i, j: (0, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_phi, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_t, n_r), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, f_pad), lambda i, j: (0, 0),
@@ -204,7 +238,7 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((chunk, n_theta, n_t, f_pad),
                                            jnp.float32),
-        )(sc, cphi2d, lq2d, nu_pad, log_t3, trk8)
+        )(sc, cphi_v, lq2d, nu_pad, log_t3, trk8)
         return out
 
     outs = jax.lax.map(chunk_fn, (t_delay_p, tracks_p, r_grid_p, scal_p))

@@ -25,6 +25,8 @@ import os, sys, time
 import numpy as np
 if "{mode}" == "xla":
     os.environ["NMMA_TPU_DISABLE_PALLAS"] = "1"
+else:
+    os.environ["NMMA_TPU_GRB_PALLAS"] = "1"   # kernel is opt-in
 import jax, jax.numpy as jnp
 sys.path.insert(0, {REPO!r})
 from nmma_tpu.models import grb
@@ -48,13 +50,23 @@ fn = jax.jit(lambda ps: jax.vmap(
     lambda p: grb.grb_afterglow_flux_density(t_obs, nu, p))(ps))
 t0 = time.time()
 out = fn(params)
-jax.block_until_ready(out)
+np.asarray(out)     # fetch = the only reliable sync on the axon tunnel
 print(f"  compile+first: {{time.time()-t0:.1f}}s", flush=True)
+# identical re-dispatches are served from a result cache in the remote
+# path, so each timed rep queues K dispatches with distinct inputs and
+# fetches the last output (fetch drains the queue)
+K = 4
+perturbed = [
+    {{k: v + 1e-6 * (rep * K + j + 1) for k, v in params.items()}}
+    for rep in range(8) for j in range(K)
+]
 best = 1e9
 for rep in range(8):
+    batch_inputs = perturbed[rep * K:(rep + 1) * K]
     t0 = time.time()
-    jax.block_until_ready(fn(params))
-    best = min(best, time.time() - t0)
+    outs = [fn(ps) for ps in batch_inputs]
+    np.asarray(outs[-1])
+    best = min(best, (time.time() - t0) / K)
 arr = np.asarray(out)
 np.save("/tmp/grb_bench_{mode}.npy", arr)
 print(f"RESULT {mode} best_ms={{best*1e3:.1f}} evals_s={{B/best:.0f}} "

@@ -90,6 +90,7 @@ def test_dispatch_broadcasts_unbatched_operands(monkeypatch):
     monkeypatch.setattr(PG, "eats_flux_pallas", spy)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.delenv("NMMA_TPU_DISABLE_PALLAS", raising=False)
+    monkeypatch.setenv("NMMA_TPU_GRB_PALLAS", "1")   # kernel is opt-in
 
     scal0 = scal[0]   # unbatched: same z/theta_v/p for the whole batch
     out = jax.vmap(
