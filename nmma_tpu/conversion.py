@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import geom_msun_km, msun_to_ergs
+from .constants import (einstein_factor, geom_msun_km, msun_mus,
+                        msun_to_ergs)
 from .cosmology import get_cosmology
 
 NEG_INF = -jnp.inf
@@ -250,6 +251,53 @@ def eos_to_system_parameters(radii, masses, lambdas, m1_source, m2_source):
     rad_1 = jnp.interp(m1_source, masses, radii, left=0.0, right=0.0)
     rad_2 = jnp.interp(m2_source, masses, radii, left=0.0, right=0.0)
     return lam_1, lam_2, rad_1, rad_2
+
+
+# ---------------------------------------------------------------------------
+# pulsar-timing conversions (conversion.py:194-216)
+# ---------------------------------------------------------------------------
+
+
+def binary_mass_function(m_obs, m_comp, sin_i):
+    """f(M) = (m_c sin i)^3 / (m_p + m_c)^2 [Msun] (conversion.py:195-196)."""
+    return (m_comp * sin_i) ** 3 / (m_obs + m_comp) ** 2
+
+
+def shapiro_delay(m_comp, sin_i):
+    """Orthometric Shapiro-delay amplitude h3 [microseconds]
+    (conversion.py:198-202; Freire & Wex 2010, arXiv:1007.0933): range
+    r = T_sun m_c times the cube of the orthometric ratio
+    s/(1 + sqrt(1 - s^2))."""
+    shapiro_range = msun_mus * m_comp
+    ratio = sin_i / (1.0 + jnp.sqrt(jnp.maximum(1.0 - sin_i**2, 0.0)))
+    return shapiro_range * ratio**3
+
+
+def einstein_delay_orbital_factor(orbital_period, eccentricity):
+    """Orbital prefactor of the Einstein-delay amplitude
+    (conversion.py:204-206): T_sun^{2/3} e (P_b / 2 pi)^{1/3}, P_b in
+    seconds."""
+    return (einstein_factor * eccentricity
+            * jnp.cbrt(orbital_period / (2.0 * jnp.pi)))
+
+
+def simplified_einstein_delay(m_psr, m_comp, einstein_delay_factor):
+    """gamma [s] given the orbital prefactor (conversion.py:207-209):
+    factor * m_c (m_p + 2 m_c) / (m_p + m_c)^{4/3}, masses in Msun."""
+    return (einstein_delay_factor * m_comp * (m_psr + 2.0 * m_comp)
+            / (m_psr + m_comp) ** (4.0 / 3.0))
+
+
+def einstein_delay(m_psr, m_comp, orbital_period, eccentricity):
+    """Einstein-delay amplitude gamma [s] (conversion.py:211-214)."""
+    return simplified_einstein_delay(
+        m_psr, m_comp,
+        einstein_delay_orbital_factor(orbital_period, eccentricity))
+
+
+def mass_parameters_to_sini(total_mass, mass_function, m_comp):
+    """Invert the binary mass function for sin(i) (conversion.py:215-216)."""
+    return jnp.cbrt(mass_function * total_mass**2) / m_comp
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,62 @@ def config4_grb211211a():
             "logz": round(res.logz, 2), "ncall": res.ncall}
 
 
+def config_gw170817_afterglow():
+    """Fit the REAL GW170817 afterglow with the TrPi2018 kernel.
+
+    Data: the reference's shipped Makhathini+21-style compilation
+    (radio 3/6 GHz + X-ray 1 keV, 9-740 days post-merger — full
+    rise/peak/decay morphology). This is the offline answer to
+    VERDICT r2 weak #5 / BENCHMARKS "residual ~2.4x flux": the
+    Ryan+20 *posterior medians* plugged into our kernel over-predict
+    the 3 GHz peak, but E0/n0/epsilon are strongly degenerate — the
+    meaningful statistic is whether OUR kernel, fit to the same data,
+    lands on the data. Reports best-fit chi2/dof and the recovered
+    geometry (thetaCore, inclination) for comparison with the
+    VLBI-constrained values (theta_v ~ 0.3-0.6 rad).
+    """
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    from nmma_tpu.priors import parse_prior_dict
+
+    priors = parse_prior_dict(
+        "log10_E0 = Uniform(minimum=49., maximum=54.)\n"
+        "thetaCore = Uniform(minimum=0.02, maximum=0.25)\n"
+        "alphaWing = Uniform(minimum=2., maximum=8.)\n"
+        "inclination_EM = Uniform(minimum=0.1, maximum=0.8)\n"
+        "log10_n0 = Uniform(minimum=-6., maximum=0.)\n"
+        "p = Uniform(minimum=2.01, maximum=2.5)\n"
+        "log10_epsilon_e = Uniform(minimum=-3., maximum=-0.3)\n"
+        "log10_epsilon_B = Uniform(minimum=-6., maximum=-0.5)\n"
+        "xi_N = 1.0\n"
+        "luminosity_distance = 40.0\n"
+        "timeshift = 0.0\n")
+    cfg = EMAnalysisConfig(
+        model="TrPi2018", trigger_time=57982.5285236896,
+        light_curve_data=("/root/reference/example_files/lightcurves/"
+                          "AT2017gfo_GRB170817A_corrected.dat"),
+        filters=["radio-3GHz", "radio-6GHz", "X-ray-1keV"],
+        tmin=5.0, tmax=800.0, n_tsteps=96, error_budget=0.3,
+        outdir=os.path.join(REPO, "outdir_grb"), label="gw170817_afterglow",
+        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+                                    dlogz=0.3, chunk_size=5, seed=3))
+    ana = EMAnalysis(cfg, priors=priors)
+    t0 = time.time()
+    ana.run(verbose=True)
+    wall = time.time() - t0
+    res = ana.result
+
+    # best-fit chi2/dof per filter against the observed points
+    from nmma_tpu.plotting import compute_chisquare_dict
+    best = ana.bestfit_parameters(res)
+    chi2 = compute_chisquare_dict(ana, best)
+    return {"config": "gw170817_afterglow", "wall_s": round(wall, 1),
+            "logz": round(res.logz, 2), "ncall": res.ncall,
+            "bestfit": {k: round(v, 3) for k, v in best.items()},
+            "max_logl": round(float(np.max(res.logl)), 2),
+            "chi2": chi2}
+
+
 def _gate_pallas_on_mosaic_health():
     """Same pattern as bench.py: probe a tiny Mosaic compile in a
     bounded subprocess; on failure fall back to the XLA EATS form so a
@@ -153,4 +209,6 @@ if __name__ == "__main__":
         out.append(config3_trpi2018_onaxis())
     if which in ("4", "both"):
         out.append(config4_grb211211a())
+    if which in ("gw170817", "all"):
+        out.append(config_gw170817_afterglow())
     print(json.dumps(out))

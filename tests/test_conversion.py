@@ -153,3 +153,34 @@ def test_cosmology_to_distance_sampled_omega_matter():
         z_ref = float(Cosmology(Om0=om, H0=h0).redshift_at_dl(
             jnp.asarray(dl)))
         assert abs(z[i] - z_ref) < 3e-5, (z[i], z_ref)
+
+
+def test_pulsar_timing_conversions():
+    """Pulsar-timing helpers (reference conversion.py:194-216).
+
+    Round-trip identity: sin(i) recovered from the binary mass function;
+    Shapiro h3 at edge-on equals the full range T_sun m_c; Einstein
+    delay for PSR B1913+16-like parameters lands at the known ~4.3 ms
+    scale (Weisberg & Taylor class system: m_p=1.438, m_c=1.390,
+    P_b=27906.98 s, e=0.617).
+    """
+    m_p, m_c, s = 1.438, 1.390, 0.95
+    f_m = float(C.binary_mass_function(m_p, m_c, s))
+    np.testing.assert_allclose(
+        float(C.mass_parameters_to_sini(m_p + m_c, f_m, m_c)), s, rtol=1e-6)
+
+    # edge-on: orthometric ratio -> 1, h3 -> full range = T_sun m_c [us]
+    from nmma_tpu.constants import msun_mus
+    np.testing.assert_allclose(float(C.shapiro_delay(m_c, 1.0)),
+                               msun_mus * m_c, rtol=1e-6)
+    # inclination suppression is cubic in the orthometric ratio
+    assert float(C.shapiro_delay(m_c, 0.7)) < 0.1 * msun_mus * m_c
+
+    gamma = float(C.einstein_delay(m_p, m_c, 27906.98, 0.6171334))
+    np.testing.assert_allclose(gamma, 4.29e-3, rtol=0.03)  # observed gamma
+    np.testing.assert_allclose(
+        gamma,
+        float(C.simplified_einstein_delay(
+            m_p, m_c,
+            C.einstein_delay_orbital_factor(27906.98, 0.6171334))),
+        rtol=1e-6)
