@@ -6,7 +6,7 @@ pattern-matches the multiply+reduce into an MXU dot, which forces every
 hat matrix out to HBM — ~19 GB of traffic per 256-theta batch. This
 kernel keeps each hat matrix entirely in VMEM: each program owns one
 (live point, theta ring) pair, processes all phi samples as one
-[Ph*T, R] block, contracts the hat against the six log-space dynamical
+[Ph*T, R] block, contracts the hat against the five log-space dynamical
 tracks on the VPU (f32 accumulate — no bf16 MXU precision loss),
 applies the Doppler/synchrotron flux math, and reduces the phi sum.
 Only the tiny [T, F] per-ring flux leaves the chip.
@@ -51,15 +51,15 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
     per-phi loop with a loop-carried accumulator starves the VPU (measured
     640 ms vs 91 ms XLA per 128-chunk); the batched form exposes the full
     [Ph*T, R] elementwise surface to Mosaic's vectorizer and unrolls the
-    six track contractions statically.
+    five track contractions statically.
 
     Blocks: scal (chunk, 8) SMEM whole-array (row = program_id 0; a
     (1, 8) block of a (chunk, 8) array violates Mosaic's sublane tiling
     on real TPUs); cphi (Ph, 128) VMEM shared (cos phi broadcast over
     lanes); lq (T, R) VMEM shared (log_q broadcast over lanes); nu
     (8, F_pad) VMEM shared (row 0 = observed frequencies, padded with
-    1.0); logt (1, 1, Ph, R) VMEM; tracks (1, 1, 8, R) VMEM (rows 0-5 =
-    log gamma/nu_m'/nu_c'/P'max/N_e50/theta, rows 6-7 zero); out
+    1.0); logt (1, 1, Ph, R) VMEM; tracks (1, 1, 8, R) VMEM (rows 0-4 =
+    log gamma/nu_m'/nu_c'/em50/theta, rows 5-7 zero); out
     (1, 1, T, F_pad) VMEM.
     """
     n_phi = logt_ref.shape[2]
@@ -72,6 +72,7 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
     cos_tv = scal_ref[i, 1]
     sin_tv = scal_ref[i, 2]
     p = scal_ref[i, 3]
+    theta_v = scal_ref[i, 4]
 
     lq3 = lq_ref[:, :][None, :, :]                      # [1, T, R]
     nu_row = nu_ref[0:1, :]                             # [1, F_pad]
@@ -100,7 +101,7 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
         jnp.where((lq3 >= x_l3) & (lq3 <= x_r3), 1.0, 0.0),
         axis=2, keepdims=True).reshape(pt, 1) > 0.5     # [Ph*T, 1]
 
-    # six static track contractions (rows 6-7 of tracks are zero padding)
+    # five static track contractions (rows 5-7 of tracks are zero padding)
     def track(k):
         row = tracks_ref[0, 0, k:k + 1, :]              # [1, R]
         raw = jnp.sum(hat * row, axis=1, keepdims=True)
@@ -109,18 +110,26 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
     g = track(0)
     num = track(1)
     nuc = track(2)
-    pmax = track(3)
-    ne50 = jnp.where(in_r, track(4), 0.0)
-    th_t = track(5)
+    em50 = jnp.where(in_r, track(3), 0.0)
+    th_t = track(4)
 
     cphi_el = jnp.broadcast_to(
         cphi_ref[:, 0:1][:, None, :], (n_phi, n_t, 1)).reshape(pt, 1)
 
-    be = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (g * g), 0.0))
-    mu_t = cos_tv * jnp.cos(th_t) + sin_tv * jnp.sin(th_t) * cphi_el
-    doppler = 1.0 / (g * (1.0 - be * mu_t) + 1e-12)     # [Ph*T, 1]
+    # stable 1 - mu (see models/grb.py one_minus_mu)
+    omm = (2.0 * jnp.sin(0.5 * (theta_v - th_t)) ** 2
+           + sin_tv * jnp.sin(th_t) * (1.0 - cphi_el))
+    u2 = jnp.maximum(g * g - 1.0, 1e-12)
+    u = jnp.sqrt(u2)
+    be = u / g
+    one_m_be = 1.0 / (g * g * (1.0 + be))
+    a_fac = one_m_be + be * omm                         # 1 - beta mu
+    inv_gd = g * a_fac                                  # 1 / doppler
+    s_sh = jnp.sqrt(1.0 + 1.0 / u2)
+    one_m_bs = (3.0 - 4.0 / (s_sh + 1.0)) / (4.0 * u2 + 3.0)
+    ashock = one_m_bs + (1.0 - one_m_bs) * omm          # 1 - beta_sh mu
 
-    nu_prime = nu_row * (one_p_z / doppler)             # [Ph*T, F]
+    nu_prime = nu_row * (one_p_z * inv_gd)              # [Ph*T, F]
     # broken power-law synchrotron spectrum (SPN98), slow + fast
     # cooling — identical branch structure to _synchrotron_shape;
     # power() spelled exp(e log x) (operands strictly positive)
@@ -145,8 +154,9 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
                   jnp.exp(-0.5 * (l_num - l_nuc)
                           + e_hi * (l_nu - l_num))))
     shape = jnp.where(num <= nuc, slow, fast)           # [Ph*T, F]
-    flux = (one_p_z * doppler * doppler * doppler
-            * pmax * ne50) * shape
+    # (1+z) delta^2 em50 shape / (1 - mu beta_sh): the optically-thin
+    # EATS volume integrand (see models/grb.py element_flux)
+    flux = (one_p_z * em50 / (inv_gd * inv_gd * ashock)) * shape
     out_ref[0, 0, :, :] = jnp.sum(
         flux.reshape(n_phi, n_t, f_pad), axis=0)
 
@@ -156,10 +166,10 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
                      nu_obs, interpret=False):
     """Batched [B, Th, F, T] phi-summed EATS flux elements.
 
-    t_delay [B, Th, R], log_tracks [B, 6, Th, R], r_grid [B, R],
-    scal [B, 8] (z, cos theta_v, sin theta_v, p), log_q [T], cphi [Ph],
-    nu_obs [F]. R must be a lane multiple (128); T a sublane multiple
-    (8) — the dispatch in models/grb.py guarantees both.
+    t_delay [B, Th, R], log_tracks [B, 5, Th, R], r_grid [B, R],
+    scal [B, 8] (z, cos theta_v, sin theta_v, p, theta_v), log_q [T],
+    cphi [Ph], nu_obs [F]. R must be a lane multiple (128); T a sublane
+    multiple (8) — the dispatch in models/grb.py guarantees both.
     """
     b, n_theta, n_r = t_delay.shape
     n_t = log_q.shape[0]
@@ -182,7 +192,7 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
         return jnp.pad(x, ((0, pad_b),) + ((0, 0),) * (x.ndim - 1))
 
     t_delay_p = pad0(t_delay).reshape(nc, chunk, n_theta, n_r)
-    tracks_p = pad0(log_tracks).reshape(nc, chunk, 6, n_theta, n_r)
+    tracks_p = pad0(log_tracks).reshape(nc, chunk, 5, n_theta, n_r)
     r_grid_p = pad0(r_grid).reshape(nc, chunk, n_r)
     scal_p = pad0(scal).reshape(nc, chunk, 8)
 
@@ -201,19 +211,21 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
         t_del, trk, rg, sc = args
         # arrival-time map (trumpet geometry + cummax) built by XLA:
         # [C, Th, Ph, R] is ~150 MB at chunk 128 — bounded and fused
-        th_r = jnp.exp(trk[:, 5])                       # [C, Th, R]
-        mu_r = (sc[:, 1, None, None, None] * jnp.cos(th_r)[:, :, None, :]
-                + sc[:, 2, None, None, None] * jnp.sin(th_r)[:, :, None, :]
-                * cphi2d[0][None, None, :, None])       # [C, Th, Ph, R]
+        th_r = jnp.exp(trk[:, 4])                       # [C, Th, R]
+        tv = sc[:, 4, None, None, None]
+        # stable 1 - mu (see models/grb.py one_minus_mu)
+        omm_r = (2.0 * jnp.sin(0.5 * (tv - th_r[:, :, None, :])) ** 2
+                 + sc[:, 2, None, None, None] * jnp.sin(th_r)[:, :, None, :]
+                 * (1.0 - cphi2d[0][None, None, :, None]))  # [C, Th, Ph, R]
         t_obs = ((1.0 + sc[:, 0, None, None, None])
                  * (t_del[:, :, None, :]
-                    + (1.0 - mu_r) * rg[:, None, None, :] / c_cgs))
+                    + omm_r * rg[:, None, None, :] / c_cgs))
         log_t3 = jnp.minimum(
             jax.lax.cummax(jnp.log(jnp.maximum(t_obs, 1e-10)), axis=3),
             60.0)
         trk8 = jnp.concatenate(
             [jnp.transpose(trk, (0, 2, 1, 3)),
-             jnp.zeros((chunk, n_theta, 2, n_r), trk.dtype)],
+             jnp.zeros((chunk, n_theta, 3, n_r), trk.dtype)],
             axis=2)                                     # [C, Th, 8, R]
         out = pl.pallas_call(
             _eats_kernel,

