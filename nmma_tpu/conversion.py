@@ -269,7 +269,10 @@ def shapiro_delay(m_comp, sin_i):
     r = T_sun m_c times the cube of the orthometric ratio
     s/(1 + sqrt(1 - s^2))."""
     shapiro_range = msun_mus * m_comp
-    ratio = sin_i / (1.0 + jnp.sqrt(jnp.maximum(1.0 - sin_i**2, 0.0)))
+    # epsilon floor (not 0): d/dx sqrt(x) -> inf at 0, so an exactly
+    # edge-on sin_i = 1 would poison gradients if this feeds an
+    # HMC/gradient sampler (ADVICE r3)
+    ratio = sin_i / (1.0 + jnp.sqrt(jnp.maximum(1.0 - sin_i**2, 1e-30)))
     return shapiro_range * ratio**3
 
 

@@ -3,9 +3,10 @@
 Counterpart of the reference's torch similarity embedding
 (``nmma/mlmodel/resnet.py:228-468`` + ``embedding.py:17-178``): a small
 1-D residual CNN over dense [F, T] light-curve tensors producing the
-conditioning vector for the normalizing-flow posterior. The VICReg
-similarity pre-training of the reference is replaced by joint end-to-end
-training with the flow (simpler, adequate for conditioning).
+conditioning vector for the normalizing-flow posterior. It can be
+trained jointly end-to-end with the flow, or VICReg-pretrained like the
+reference (``mlmodel/vicreg.py`` implements the similarity objective
+with the paper's loss weights).
 """
 
 from __future__ import annotations

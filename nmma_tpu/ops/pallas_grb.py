@@ -55,12 +55,13 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
 
     Blocks: scal (chunk, 8) SMEM whole-array (row = program_id 0; a
     (1, 8) block of a (chunk, 8) array violates Mosaic's sublane tiling
-    on real TPUs); cphi (Ph, 128) VMEM shared (cos phi broadcast over
-    lanes); lq (T, R) VMEM shared (log_q broadcast over lanes); nu
-    (8, F_pad) VMEM shared (row 0 = observed frequencies, padded with
-    1.0); logt (1, 1, Ph, R) VMEM; tracks (1, 1, 8, R) VMEM (rows 0-4 =
-    log gamma/nu_m'/nu_c'/em50/theta, rows 5-7 zero); out
-    (1, 1, T, F_pad) VMEM.
+    on real TPUs); cphi (2 Ph, 128) VMEM shared (rows 0..Ph-1 cos phi,
+    rows Ph..2Ph-1 quadrature weights, broadcast over lanes); lq (T, R)
+    VMEM shared (log_q broadcast over lanes); nu (8, F_pad) VMEM shared
+    (row 0 = observed frequencies, padded with 1.0); logt (1, 1, Ph, R)
+    VMEM; tracks (1, 1, R, 8) VMEM pre-transposed for the MXU dot
+    (lanes 0-4 = log gamma/nu_m'/nu_c'/em50/theta, lane 5 = ones for
+    the hat row sum, lanes 6-7 zero); out (1, 1, T, F_pad) VMEM.
     """
     n_phi = logt_ref.shape[2]
     n_t = lq_ref.shape[0]
@@ -88,33 +89,33 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
     up = (lq3 - x_l3) * inv_dl                          # [Ph, T, R]
     dn = (x_r3 - lq3) * inv_dr
     hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0).reshape(pt, lt.shape[1])
-    # normalization (duplicate cummax-plateau nodes each claim weight 1)
-    # folded in as the denominator of the convex combination
-    inv_denom = 1.0 / jnp.maximum(
-        jnp.sum(hat, axis=1, keepdims=True), 1.0)       # [Ph*T, 1]
 
-    # in-range ⟺ lq ∈ [lt0, lt_last]; the per-column hat supports
-    # [x_l_k, x_r_k] union to exactly that interval, and the full-lane
-    # compare+reduce avoids (1,1)-vector broadcasts that Mosaic rejects
-    # ("Invalid input layout" on this toolchain)
-    in_r = jnp.max(
-        jnp.where((lq3 >= x_l3) & (lq3 <= x_r3), 1.0, 0.0),
-        axis=2, keepdims=True).reshape(pt, 1) > 0.5     # [Ph*T, 1]
+    # ONE MXU dot replaces the round-3 kernel's seven VPU lane
+    # reductions (5 track contractions + hat-sum + in-range max), the
+    # measured bottleneck (260 ms vs 72 ms XLA at B=256): tracks arrive
+    # pre-transposed as [R, 8] with lane 5 = ones, so raw[:, 5] is the
+    # hat row sum — both the convex-combination denominator (duplicate
+    # cummax-plateau nodes each claim weight 1) and the in-range test
+    # (out-of-range rows have an ALL-ZERO hat: lq < lt[0] makes every
+    # up <= 0, lq > lt[-1] every dn <= 0; in-range rows sum >= 1).
+    raw = jnp.dot(hat, tracks_ref[0, 0],
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # [Ph*T, 8]
+    hat_sum = raw[:, 5:6]
+    inv_denom = 1.0 / jnp.maximum(hat_sum, 1.0)
+    in_r = hat_sum > 0.5
 
-    # five static track contractions (rows 5-7 of tracks are zero padding)
-    def track(k):
-        row = tracks_ref[0, 0, k:k + 1, :]              # [1, R]
-        raw = jnp.sum(hat * row, axis=1, keepdims=True)
-        return jnp.exp(raw * inv_denom)                 # [Ph*T, 1]
-
-    g = track(0)
-    num = track(1)
-    nuc = track(2)
-    em50 = jnp.where(in_r, track(3), 0.0)
-    th_t = track(4)
+    g = jnp.exp(raw[:, 0:1] * inv_denom)
+    num = jnp.exp(raw[:, 1:2] * inv_denom)
+    nuc = jnp.exp(raw[:, 2:3] * inv_denom)
+    em50 = jnp.where(in_r, jnp.exp(raw[:, 3:4] * inv_denom), 0.0)
+    th_t = jnp.exp(raw[:, 4:5] * inv_denom)
 
     cphi_el = jnp.broadcast_to(
-        cphi_ref[:, 0:1][:, None, :], (n_phi, n_t, 1)).reshape(pt, 1)
+        cphi_ref[0:n_phi, 0:1][:, None, :], (n_phi, n_t, 1)).reshape(pt, 1)
+    w_el = jnp.broadcast_to(
+        cphi_ref[n_phi:2 * n_phi, 0:1][:, None, :],
+        (n_phi, n_t, 1)).reshape(pt, 1)
 
     # stable 1 - mu (see models/grb.py one_minus_mu)
     omm = (2.0 * jnp.sin(0.5 * (theta_v - th_t)) ** 2
@@ -155,20 +156,22 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
                           + e_hi * (l_nu - l_num))))
     shape = jnp.where(num <= nuc, slow, fast)           # [Ph*T, F]
     # (1+z) delta^2 em50 shape / (1 - mu beta_sh): the optically-thin
-    # EATS volume integrand (see models/grb.py element_flux)
-    flux = (one_p_z * em50 / (inv_gd * inv_gd * ashock)) * shape
+    # EATS volume integrand (see models/grb.py element_flux), times the
+    # phi quadrature weight (Gauss-Legendre by default)
+    flux = (w_el * one_p_z * em50 / (inv_gd * inv_gd * ashock)) * shape
     out_ref[0, 0, :, :] = jnp.sum(
         flux.reshape(n_phi, n_t, f_pad), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
-                     nu_obs, interpret=False):
+                     wphi, nu_obs, interpret=False):
     """Batched [B, Th, F, T] phi-summed EATS flux elements.
 
     t_delay [B, Th, R], log_tracks [B, 5, Th, R], r_grid [B, R],
     scal [B, 8] (z, cos theta_v, sin theta_v, p, theta_v), log_q [T],
-    cphi [Ph], nu_obs [F]. R must be a lane multiple (128); T a sublane
+    cphi/wphi [Ph] (phi-quadrature nodes' cosines and weights),
+    nu_obs [F]. R must be a lane multiple (128); T a sublane
     multiple (8) — the dispatch in models/grb.py guarantees both.
     """
     b, n_theta, n_r = t_delay.shape
@@ -201,9 +204,11 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
     cphi2d = cphi[None, :].astype(jnp.float32)                  # [1, Ph]
     # lane-broadcast copy for the kernel (VMEM column reads; SMEM holds
     # scalars only and per-element SMEM reads in a batched-phi kernel
-    # would serialize)
-    cphi_v = jnp.broadcast_to(cphi[:, None].astype(jnp.float32),
-                              (n_phi, 128))
+    # would serialize): rows 0..Ph-1 = cos phi, rows Ph..2Ph-1 = weights
+    cphi_v = jnp.concatenate([
+        jnp.broadcast_to(cphi[:, None].astype(jnp.float32), (n_phi, 128)),
+        jnp.broadcast_to(wphi[:, None].astype(jnp.float32), (n_phi, 128)),
+    ], axis=0)                                          # [2 Ph, 128]
     nu_pad = jnp.ones((8, f_pad), jnp.float32)
     nu_pad = nu_pad.at[0, :n_f].set(nu_obs.astype(jnp.float32))
 
@@ -223,10 +228,13 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
         log_t3 = jnp.minimum(
             jax.lax.cummax(jnp.log(jnp.maximum(t_obs, 1e-10)), axis=3),
             60.0)
+        # tracks pre-transposed to [R, 8] per (point, ring) — the MXU
+        # dot's RHS — with lane 5 = ones (hat row sums, see kernel)
         trk8 = jnp.concatenate(
-            [jnp.transpose(trk, (0, 2, 1, 3)),
-             jnp.zeros((chunk, n_theta, 3, n_r), trk.dtype)],
-            axis=2)                                     # [C, Th, 8, R]
+            [jnp.transpose(trk, (0, 2, 3, 1)),
+             jnp.ones((chunk, n_theta, n_r, 1), trk.dtype),
+             jnp.zeros((chunk, n_theta, n_r, 2), trk.dtype)],
+            axis=3)                                     # [C, Th, R, 8]
         out = pl.pallas_call(
             _eats_kernel,
             grid=(chunk, n_theta),
@@ -234,7 +242,7 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
             in_specs=[
                 pl.BlockSpec((chunk, 8), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_phi, 128), lambda i, j: (0, 0),
+                pl.BlockSpec((2 * n_phi, 128), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_t, n_r), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -242,7 +250,7 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, n_phi, n_r), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8, n_r), lambda i, j: (i, j, 0, 0),
+                pl.BlockSpec((1, 1, n_r, 8), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 1, n_t, f_pad),
@@ -250,6 +258,11 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((chunk, n_theta, n_t, f_pad),
                                            jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                # both grid axes are independent programs: lets Mosaic
+                # overlap the per-program DMAs instead of serializing
+                # 12k tiny pipeline stages
+                dimension_semantics=("parallel", "parallel")),
         )(sc, cphi_v, lq2d, nu_pad, log_t3, trk8)
         return out
 

@@ -71,10 +71,12 @@ def _write_data_file(payload: dict, outdir) -> tuple[Path, float]:
     data_path = Path(outdir) / "data.dat"
 
     def isot(mjd):
-        # inverse of mjd_from_isot for integer-second timestamps
+        # inverse of mjd_from_isot; real SkyPortal payloads carry
+        # fractional seconds, so emit millisecond precision (strip the
+        # last three of strftime's microsecond digits)
         from datetime import datetime, timedelta
         base = datetime(1858, 11, 17) + timedelta(days=float(mjd))
-        return base.strftime("%Y-%m-%dT%H:%M:%S")
+        return base.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
 
     with data_path.open("w") as fh:
         for _, row in table.iterrows():

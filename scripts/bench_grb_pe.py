@@ -127,7 +127,7 @@ def config_gw170817_afterglow():
         "log10_E0 = Uniform(minimum=49., maximum=54.)\n"
         "thetaCore = Uniform(minimum=0.02, maximum=0.25)\n"
         "alphaWing = Uniform(minimum=2., maximum=8.)\n"
-        "inclination_EM = Uniform(minimum=0.1, maximum=0.8)\n"
+        "inclination_EM = Uniform(minimum=0.05, maximum=1.0)\n"
         "log10_n0 = Uniform(minimum=-6., maximum=0.)\n"
         "p = Uniform(minimum=2.01, maximum=2.5)\n"
         "log10_epsilon_e = Uniform(minimum=-3., maximum=-0.3)\n"
@@ -205,9 +205,9 @@ if __name__ == "__main__":
     _gate_pallas_on_mosaic_health()
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     out = []
-    if which in ("3", "both"):
+    if which in ("3", "both", "all"):
         out.append(config3_trpi2018_onaxis())
-    if which in ("4", "both"):
+    if which in ("4", "both", "all"):
         out.append(config4_grb211211a())
     if which in ("gw170817", "all"):
         out.append(config_gw170817_afterglow())

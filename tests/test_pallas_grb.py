@@ -45,14 +45,15 @@ def _stage2_inputs(B=3, seed=0):
 
 
 def test_pallas_eats_parity_interpret():
-    t_delay, tracks, r_grid, scal, log_q, cphi, nu_obs = _stage2_inputs()
+    (t_delay, tracks, r_grid, scal, log_q, cphi, wphi,
+     nu_obs) = _stage2_inputs()
     out_pl = np.asarray(eats_flux_pallas(
-        t_delay, tracks, r_grid, scal, log_q, cphi, nu_obs,
+        t_delay, tracks, r_grid, scal, log_q, cphi, wphi, nu_obs,
         interpret=True))
     out_xla = np.asarray(jax.vmap(
         G._eats_stage2_xla,
-        in_axes=(0, 0, 0, 0, None, None, None))(
-        t_delay, tracks, r_grid, scal, log_q, cphi, nu_obs))
+        in_axes=(0, 0, 0, 0, None, None, None, None))(
+        t_delay, tracks, r_grid, scal, log_q, cphi, wphi, nu_obs))
     assert out_pl.shape == out_xla.shape
     scale = np.abs(out_xla).max()
     num = np.abs(out_pl - out_xla)
@@ -62,13 +63,14 @@ def test_pallas_eats_parity_interpret():
 
 def test_pallas_chunk_padding():
     """B not a multiple of the chunk size pads and slices correctly."""
-    t_delay, tracks, r_grid, scal, log_q, cphi, nu_obs = _stage2_inputs(B=3)
+    (t_delay, tracks, r_grid, scal, log_q, cphi, wphi,
+     nu_obs) = _stage2_inputs(B=3)
     full = np.asarray(eats_flux_pallas(
-        t_delay, tracks, r_grid, scal, log_q, cphi, nu_obs,
+        t_delay, tracks, r_grid, scal, log_q, cphi, wphi, nu_obs,
         interpret=True))
     one = np.asarray(eats_flux_pallas(
         t_delay[:1], tracks[:1], r_grid[:1], scal[:1], log_q, cphi,
-        nu_obs, interpret=True))
+        wphi, nu_obs, interpret=True))
     np.testing.assert_allclose(full[:1], one, rtol=1e-6)
 
 
@@ -79,7 +81,8 @@ def test_dispatch_broadcasts_unbatched_operands(monkeypatch):
     import functools
     import nmma_tpu.ops.pallas_grb as PG
 
-    t_delay, tracks, r_grid, scal, log_q, cphi, nu_obs = _stage2_inputs(B=2)
+    (t_delay, tracks, r_grid, scal, log_q, cphi, wphi,
+     nu_obs) = _stage2_inputs(B=2)
     calls = []
     orig = PG.eats_flux_pallas
 
@@ -95,12 +98,12 @@ def test_dispatch_broadcasts_unbatched_operands(monkeypatch):
     scal0 = scal[0]   # unbatched: same z/theta_v/p for the whole batch
     out = jax.vmap(
         functools.partial(G._eats_stage2, log_q=log_q, cphi=cphi,
-                          nu_obs=nu_obs),
+                          wphi=wphi, nu_obs=nu_obs),
         in_axes=(0, 0, 0, None))(t_delay, tracks, r_grid, scal0)
     assert len(calls) == 1, "Pallas path did not fire"
     ref = jax.vmap(G._eats_stage2_xla,
-                   in_axes=(0, 0, 0, None, None, None, None))(
-        t_delay, tracks, r_grid, scal0, log_q, cphi, nu_obs)
+                   in_axes=(0, 0, 0, None, None, None, None, None))(
+        t_delay, tracks, r_grid, scal0, log_q, cphi, wphi, nu_obs)
     scale = float(np.abs(np.asarray(ref)).max())
     num = np.abs(np.asarray(out) - np.asarray(ref))
     den = np.maximum(np.abs(np.asarray(ref)), 1e-6 * scale)
