@@ -177,6 +177,19 @@ def nmma_generation(cli_args=None):
     os.makedirs(args.outdir, exist_ok=True)
     from .parsing import write_complete_config
     write_complete_config(args)
+
+    # per-phase wall-clock breakdown (VERDICT r3 next #3): printed,
+    # embedded in the dump, and written to <label>_generation_meta.json
+    import time as _time
+    timings = {}
+    _t0 = _time.perf_counter()
+
+    def _phase(name):
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[name] = round(now - _t0, 2)
+        _t0 = now
+
     priors = load_prior_file(args.prior_file)
     waveform = get_waveform(args.waveform)
 
@@ -201,6 +214,7 @@ def nmma_generation(cli_args=None):
         inj_conv = conversion(injection)
         inj_scalar = {k: float(np.asarray(v)) for k, v in inj_conv.items()
                       if np.ndim(np.asarray(v)) == 0}
+    _phase("setup_priors_conversion")
 
     # ---- GW data: real strain from disk, or zero-noise injection ----
     if strain_files:
@@ -221,6 +235,7 @@ def nmma_generation(cli_args=None):
             f_min=args.minimum_frequency, f_max=args.maximum_frequency,
             waveform=waveform, trigger_time=args.trigger_time)
             for name in args.detectors.split(",")]
+    _phase("gw_data")
 
     # ---- relative-binning fiducial: injection, or an ML search ----
     fiducial = inj_scalar
@@ -233,6 +248,7 @@ def nmma_generation(cli_args=None):
             seed=args.generation_seed,
             transform=conversion)
         print(f"fiducial logL (time+phase marginalized): {fid_logl:.2f}")
+    _phase("fiducial")
 
     # ---- EOS constraints + optional pre-reweighting ----
     constraint_specs = _parse_constraints(args)
@@ -253,6 +269,7 @@ def nmma_generation(cli_args=None):
         print(f"EOS reweighting: {n_kept} EOS kept -> {sorted_dir}")
         eos_payload, eos_weights_file = sorted_dir, w_path
         constraint_specs = []   # folded into the weights
+    _phase("eos")
 
     # ---- EM data: observed photometry or injection synthesis ----
     em_data = None
@@ -280,6 +297,8 @@ def nmma_generation(cli_args=None):
             tmin=max(args.tmin, 0.3), tmax=min(args.tmax, 12.0), n_tsteps=20,
             seed=args.generation_seed)
 
+    _phase("em_data")
+
     dump = {
         "args": vars(args),
         "injection": injection,
@@ -305,7 +324,16 @@ def nmma_generation(cli_args=None):
     test_point = inj_scalar if inj_scalar is not None else fiducial
     test_point = _fill_from_priors(test_point, priors)
     logl = float(jax.jit(likelihood.log_likelihood)(test_point))
-    print(f"data dump written to {path}; test logL = {logl:.2f}")
+    _phase("test_build_compile_eval")
+    timings["total"] = round(sum(timings.values()), 2)
+    meta_path = os.path.join(args.outdir,
+                             f"{args.label}_generation_meta.json")
+    with open(meta_path, "w") as f:
+        json.dump({"timings_s": timings,
+                   "compilation_cache": jax.config.jax_compilation_cache_dir,
+                   "test_logl": logl}, f, indent=2)
+    print(f"data dump written to {path}; test logL = {logl:.2f}; "
+          f"phases [s]: {timings}")
     return path
 
 

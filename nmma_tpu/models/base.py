@@ -134,6 +134,11 @@ class SourceModel:
     # per filter, so their output rows are fixed and get gathered/inf-filled
     # to the requested set (reference calc_svd_lc null-output, :166-168).
     filter_names: tuple = None
+    # SALT-style models sample an APPARENT amplitude (x0 already encodes
+    # the distance): the detector map must not add the distance modulus
+    # on top (reference SupernovaLightCurveModel.gen_detector_lc
+    # "SALT models are exempt", nmma/em/model.py:1216-1222)
+    apparent_amplitude: bool = False
 
     def time_grid(self):
         if self.default_time_grid is not None:
@@ -164,10 +169,54 @@ def get_source_model(name: str) -> SourceModel:
     # import kernels lazily so registration happens on first use
     from . import grb, kilonova, shock_cooling, supernova  # noqa: F401
     if name not in _SOURCE_MODELS:
+        model = _resolve_spectral_template(name)
+        if model is not None:
+            return model
         raise KeyError(
             f"Unknown source model {name!r}; known: {sorted(_SOURCE_MODELS)}"
         )
     return _SOURCE_MODELS[name]
+
+
+def _resolve_spectral_template(name: str):
+    """sncosmo-name resolution for spectral templates: the reference
+    resolves 'nugent-hyper'/'salt2' through sncosmo's download registry
+    (nmma/em/model.py:1061-1227); here — zero-egress environment — a
+    template named NAME resolves from $NMMA_SPECTRAL_TEMPLATES (or
+    ~/.nmma_tpu/templates): NAME.dat / NAME.h5 for time-series
+    templates, or a NAME/ directory with salt2_template_0.dat,
+    salt2_template_1.dat [, salt2_color_law.dat] for SALT2-architecture
+    surfaces."""
+    import os
+
+    base = os.environ.get(
+        "NMMA_SPECTRAL_TEMPLATES",
+        os.path.join(os.path.expanduser("~"), ".nmma_tpu", "templates"))
+    from .spectral import (load_sncosmo_ascii_template,
+                           make_salt2_source_model,
+                           spectral_model_from_file)
+    salt_dir = os.path.join(base, name)
+    if os.path.isdir(salt_dir):
+        m0_path = os.path.join(salt_dir, "salt2_template_0.dat")
+        m1_path = os.path.join(salt_dir, "salt2_template_1.dat")
+        if os.path.exists(m0_path) and os.path.exists(m1_path):
+            phase, wave, m0 = load_sncosmo_ascii_template(m0_path)
+            _, _, m1 = load_sncosmo_ascii_template(m1_path)
+            cl_path = os.path.join(salt_dir, "salt2_color_law.dat")
+            cl = None
+            if os.path.exists(cl_path):
+                raw = np.loadtxt(cl_path)
+                cl = np.interp(wave, raw[:, 0], raw[:, 1])
+            return make_salt2_source_model(name, phase, wave, m0, m1,
+                                           color_law=cl)
+    for ext in (".dat", ".txt", ".h5", ".hdf5"):
+        path = os.path.join(base, name + ext)
+        if os.path.exists(path):
+            # SALT-family single files keep the sampled-amplitude
+            # convention (no anchoring; reference "SALT2 exemption")
+            anchored = not name.lower().startswith("salt")
+            return spectral_model_from_file(name, path, anchor=anchored)
+    return None
 
 
 class DetectorLightCurveModel:
@@ -300,7 +349,11 @@ class DetectorLightCurveModel:
             ext_mag = band_extinction_mags_p92_smc(
                 self.nu_nodes, self.nu_weights, jnp.asarray(p["Ebv"]), z)
         redshift_correction = -2.5 * jnp.log10(1.0 + z)
-        apparent = mags + ext_mag[:, None] + p["distance_modulus"] + redshift_correction
+        # SALT exemption: a sampled apparent amplitude already encodes
+        # the distance; adding distmod would double-count it
+        dist_corr = (0.0 if self.source.apparent_amplitude
+                     else p["distance_modulus"])
+        apparent = mags + ext_mag[:, None] + dist_corr + redshift_correction
 
         # rows with <2 finite samples are unusable -> all-inf
         # (nmma/em/model.py:389-396)

@@ -540,13 +540,31 @@ def _eats_stage2_xla(t_delay, log_tracks, r_grid, scal, log_q, cphi,
         hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0)               # [T, R]
         tr = log_tracks[:, th_idx]                                  # [5, R]
         if _contract_mode() == "einsum":
-            # duplicate grid nodes (cummax plateaus) can each claim weight
-            # 1; normalising restores a convex combination
-            hat_n = hat / jnp.maximum(hat.sum(axis=1, keepdims=True), 1.0)
-            # HIGHEST: the TPU MXU's default bf16 multiplies cost ~0.1 mag
-            # on log-space tracks of magnitude ~30-80
-            vals = jnp.exp(jnp.einsum("tr,kr->kt", hat_n, tr,
-                                      precision=jax.lax.Precision.HIGHEST))
+            # The [T, R] hat is materialized to HBM as the MXU operand —
+            # the kernel's dominant traffic. Weights are CONVEX
+            # coefficients in [0, 1], so bf16 storage costs only
+            # ~0.2% x (local segment delta in the log tracks) ~ 0.003
+            # mag while halving that traffic; the TRACKS stay f32 (bf16
+            # there would round absolute log values of magnitude 30-88
+            # by ~0.35 — the reason precision=HIGHEST is kept for the
+            # f32 operand's MXU pass decomposition). Normalization
+            # (duplicate cummax-plateau nodes each claim weight 1) rides
+            # as a ones lane so the hat has exactly ONE consumer and no
+            # second materialization for the row sums.
+            tr1 = jnp.concatenate(
+                [tr, jnp.ones((1, tr.shape[1]), tr.dtype)])    # [K+1, R]
+            raw = jnp.einsum("tr,kr->kt", hat.astype(jnp.bfloat16), tr1,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            k_lanes = tr.shape[0]
+            # epsilon clamp, NOT 1.0: bf16 row sums land at 1 +- 0.4%,
+            # and clamping a 0.996 sum to 1 breaks the normalization's
+            # exact cancellation of the ABSOLUTE track value (log
+            # magnitudes ~40 -> 0.17 mag errors); out-of-range rows
+            # (raw identically 0) still come out as exp(0/eps) = 1,
+            # masked by in_range below exactly as before
+            denom = jnp.maximum(raw[k_lanes], 1e-3)            # [T]
+            vals = jnp.exp(raw[:k_lanes] / denom)
         else:
             # fused multiply+reduce: with K=5 output lanes the MXU is 96%
             # idle, and lowering to a dot forces the [T, R] hat operand out

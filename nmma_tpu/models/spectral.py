@@ -173,6 +173,102 @@ def make_spectral_source_model(name, phase_days, wave_aa, flam,
     return model
 
 
+def make_salt2_source_model(name, phase_days, wave_aa, m0_flam, m1_flam,
+                            color_law=None):
+    """SALT2-architecture source model (the reference's ``salt2`` path,
+    nmma/em/model.py:1061-1227 via sncosmo.SALT2Source):
+
+        F(p, lambda) = x0 [M0(p, lambda) + x1 M1(p, lambda)]
+                       * 10^(-0.4 c CL(lambda)),
+
+    with SAMPLED parameters x0 (apparent amplitude — the model is
+    distance-modulus EXEMPT, see SourceModel.apparent_amplitude), x1
+    (stretch-like) and c (color). The component surfaces M0/M1 and the
+    color law CL are INPUTS: the real SALT2 training data is
+    download-gated in this environment exactly like the sncosmo
+    templates, so this registers the architecture for any
+    (phase, wave, M0, M1[, CL]) grids (synthetic fixture:
+    tests/test_spectral_roundtrip.py).
+
+    color_law: tabulated CL(lambda) on ``wave_aa`` (default zeros).
+    M1 can be negative — interpolation runs in LINEAR flux, and
+    non-positive total flux maps to inf magnitudes.
+    """
+    phase = np.asarray(phase_days, dtype=np.float64)
+    wave = np.asarray(wave_aa, dtype=np.float64)
+    m0 = np.asarray(m0_flam, dtype=np.float64)
+    m1 = np.asarray(m1_flam, dtype=np.float64)
+    cl = (np.zeros_like(wave) if color_law is None
+          else np.asarray(color_law, dtype=np.float64))
+
+    # f_lambda -> f_nu component surfaces on an ascending log-nu grid
+    conv = (wave[None, :] ** 2 * 1e-8) / C_CGS
+    log_nu_grid = np.log(C_CGS / (wave * 1e-8))[::-1]
+    f0 = jnp.asarray(np.ascontiguousarray((m0 * conv)[:, ::-1]))
+    f1 = jnp.asarray(np.ascontiguousarray((m1 * conv)[:, ::-1]))
+    cl_nu = jnp.asarray(np.ascontiguousarray(cl[::-1]))
+    phase_j = jnp.asarray(phase)
+    log_nu_j = jnp.asarray(log_nu_grid)
+
+    def mags_fn(params, t_days, nu_host, nu_nodes=None, nu_weights=None):
+        x0 = jnp.asarray(params.get("x0", 1e-5))
+        x1 = jnp.asarray(params.get("x1", 0.0))
+        c = jnp.asarray(params.get("c", 0.0))
+
+        if nu_nodes is not None:
+            f, k = nu_nodes.shape
+            log_nu_q = jnp.log(nu_nodes.reshape(f * k))
+            w_q = nu_weights.reshape(f * k)
+        else:
+            log_nu_q = jnp.log(jnp.asarray(nu_host))
+            w_q = None
+
+        def interp_grid(grid):            # [T_tpl, W] -> [T_tpl, Q]
+            def per_phase(row):
+                return masked_interp_sorted_fill(log_nu_q, log_nu_j, row,
+                                                 jnp.nan)
+            return jax.vmap(per_phase)(grid)
+
+        cl_q = masked_interp_sorted_fill(log_nu_q, log_nu_j, cl_nu, 0.0)
+        flux_q = (interp_grid(f0) + x1 * interp_grid(f1)) \
+            * jnp.power(10.0, -0.4 * c * cl_q)[None, :]   # [T_tpl, Q]
+        if w_q is not None:
+            # band transmission average in LINEAR flux (components can
+            # be negative; the log-space trick of the template path
+            # does not apply)
+            flux_q = jnp.nan_to_num(flux_q, nan=0.0)
+            flux_fq = flux_q.reshape(-1, f, k)
+            flux_band = jnp.sum(flux_fq * w_q.reshape(f, k)[None], axis=2) \
+                / jnp.sum(nu_weights, axis=1)[None]       # [T_tpl, F]
+        else:
+            flux_band = flux_q.reshape(-1, log_nu_q.shape[0])
+
+        flux_band = x0 * flux_band.T                      # [F, T_tpl]
+        mag_ft = jnp.where(flux_band > 0.0,
+                           -2.5 * jnp.log10(jnp.maximum(
+                               flux_band / _AB_ZP_CGS, 1e-300)),
+                           jnp.inf)
+
+        def per_filter(row):
+            return masked_interp_sorted_fill(jnp.asarray(t_days), phase_j,
+                                             row, jnp.inf)
+        return jax.vmap(per_filter)(mag_ft)
+
+    model = SourceModel(
+        name=name,
+        parameter_names=("x0", "x1", "c"),
+        mags_fn=mags_fn,
+        apparent_amplitude=True,
+        default_time_grid=lambda: (
+            np.asarray(phase[phase > 0]) if (phase > 0).sum() >= 2
+            else np.geomspace(1e-3, max(float(phase[-1]), 1.0), 32)),
+        citation="SALT2-architecture spectral surface "
+                 "(nmma/em/model.py:1061-1227 salt2 path)",
+    )
+    register_source_model(model)
+    return model
+
+
 def spectral_model_from_file(name, path, anchor=True):
     """Template file -> registered model: sncosmo 3-column ASCII, or a
     POSSIS .h5/ascii spectrum (first viewing angle)."""

@@ -242,3 +242,36 @@ def eos_mr_band_plot(eos_set, weights=None, credible=(0.68, 0.95),
     fig.savefig(save_path, dpi=120)
     plt.close(fig)
     return save_path
+
+
+def plot_marginalised_bands(times, bands, filters, save_path,
+                            percentiles=(5, 50, 95)):
+    """Per-filter percentile bands of a marginalised light-curve set
+    (counterpart of the reference's ``lc_plot_with_histogram`` output,
+    em/plotting_utils.py): shaded [lo, hi] region + median track, one
+    panel per filter, magnitudes increasing downward."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .plotting_utils import setup_multi_axes
+
+    bands = np.asarray(bands)
+    fig, axes = setup_multi_axes(len(filters))
+    for fi, (filt, ax) in enumerate(zip(filters, axes)):
+        lo, med, hi = bands[0, fi], bands[1, fi], bands[-1, fi]
+        ok = np.isfinite(lo) & np.isfinite(hi)
+        ax.fill_between(np.asarray(times)[ok], lo[ok], hi[ok], alpha=0.3,
+                        label=f"{percentiles[0]}-{percentiles[-1]}%")
+        okm = np.isfinite(med)
+        ax.plot(np.asarray(times)[okm], med[okm], lw=1.2, label="median")
+        ax.set_xscale("log")
+        ax.invert_yaxis()
+        ax.set_title(filt, fontsize=9)
+        ax.set_xlabel("time [days]")
+        ax.set_ylabel("mag")
+    axes[0].legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path

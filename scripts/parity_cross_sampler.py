@@ -1,0 +1,164 @@
+"""Cross-sampler posterior parity on BASELINE configs 1-3 (VERDICT r3 #4).
+
+Runs BOTH in-repo samplers — the vectorized nested sampler and the
+independent affine-invariant ensemble MCMC — on the same likelihood for
+each config and reports the per-parameter Jensen-Shannon divergence
+between their posteriors. Two samplers with unrelated update rules
+agreeing to JS < 0.01 per parameter is the in-repo analogue of the
+reference's battle-tested-dynesty trust (nmma/core/mpi_setup.py): an
+error in the likelihood affects both equally, but an error in EITHER
+sampler's exploration/weighting shows up as marginal disagreement.
+
+Run on the attached TPU:
+    python scripts/parity_cross_sampler.py [1|2|3|all]
+Writes artifacts/parity_cross_sampler.json and prints one JSON line per
+config.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA = "/root/reference/example_files/lightcurves/AT2017gfo.dat"
+TRIGGER_MJD = 57982.5285236896
+
+
+def _config1():
+    """Me2017 analytic kilonova PE on AT2017gfo (BASELINE config 1)."""
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    cfg = EMAnalysisConfig(
+        model="Me2017", prior_file="/root/reference/priors/Me2017.prior",
+        light_curve_data=DATA, trigger_time=TRIGGER_MJD, data_tmax=12.0,
+        error_budget=1.0, outdir=os.path.join(REPO, "outdir_production"),
+        label="parity_me2017",
+        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+                                    dlogz=0.1, chunk_size=5))
+    return EMAnalysis(cfg)
+
+
+def _config2():
+    """Bu2019lm SVD-surrogate PE on AT2017gfo (BASELINE config 2)."""
+    import tempfile
+
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    from nmma_tpu.models.svd import SVDModelData, make_svd_source_model
+    svd = SVDModelData.load(os.path.join(REPO, "artifacts",
+                                         "Bu2019lm_production_svd.npz"))
+    source = make_svd_source_model("Bu2019lm_parity", svd)
+    prior_text = (
+        "log10_mej_dyn = Uniform(minimum=-3., maximum=-1.)\n"
+        "log10_mej_wind = Uniform(minimum=-2., maximum=-0.5)\n"
+        "KNphi = Uniform(minimum=15., maximum=75.)\n"
+        "KNtheta = Uniform(minimum=0., maximum=90.)\n"
+        "luminosity_distance = Uniform(minimum=1., maximum=200.)\n"
+        "timeshift = Uniform(minimum=-0.2, maximum=0.2)\n")
+    with tempfile.NamedTemporaryFile("w", suffix=".prior",
+                                     delete=False) as f:
+        f.write(prior_text)
+        prior_path = f.name
+    cfg = EMAnalysisConfig(
+        model=source.name, prior_file=prior_path, light_curve_data=DATA,
+        trigger_time=TRIGGER_MJD, data_tmax=12.0, error_budget=1.0,
+        filters=[f for f in svd.filters],
+        outdir=os.path.join(REPO, "outdir_production"),
+        label="parity_bu2019lm",
+        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+                                    dlogz=0.1, chunk_size=5))
+    return EMAnalysis(cfg)
+
+
+def _config3():
+    """TrPi2018 on-axis GRB PE on an injection (BASELINE config 3)."""
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.priors import parse_prior_dict
+    truth = dict(log10_E0=51.5, thetaCore=0.1, thetaWing=0.4,
+                 inclination_EM=0.05, log10_n0=-1.5, p=2.4,
+                 log10_epsilon_e=-1.2, log10_epsilon_B=-3.0, xi_N=1.0,
+                 luminosity_distance=350.0, timeshift=0.0)
+    filters = ["ztfg", "ztfr", "ztfi", "X-ray-1keV", "radio-6GHz"]
+    data = create_light_curve_data(
+        truth, "TrPi2018", filters, tmin=0.1, tmax=30.0, n_tsteps=24,
+        seed=10, injection_error_budget=0.2)
+    priors = parse_prior_dict(
+        "log10_E0 = Uniform(minimum=49., maximum=54.)\n"
+        "thetaCore = Uniform(minimum=0.01, maximum=0.3)\n"
+        "thetaWing = 0.4\n"
+        "inclination_EM = Uniform(minimum=0., maximum=0.5)\n"
+        "log10_n0 = Uniform(minimum=-4., maximum=1.)\n"
+        "p = Uniform(minimum=2.01, maximum=2.9)\n"
+        "log10_epsilon_e = Uniform(minimum=-3., maximum=-0.3)\n"
+        "log10_epsilon_B = Uniform(minimum=-5., maximum=-0.5)\n"
+        "xi_N = 1.0\n"
+        "luminosity_distance = 350.0\n"
+        "timeshift = Uniform(minimum=-0.1, maximum=0.1)\n")
+    cfg = EMAnalysisConfig(
+        model="TrPi2018", trigger_time=0.0, tmin=0.05, tmax=40.0,
+        n_tsteps=64, error_budget=0.5,
+        outdir=os.path.join(REPO, "outdir_grb"), label="parity_trpi2018",
+        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+                                    dlogz=0.3, chunk_size=5))
+    return EMAnalysis(cfg, data=data, priors=priors)
+
+
+def run_config(num, builder):
+    from nmma_tpu.inference import EnsembleMCMCConfig
+    from nmma_tpu.post_processing.parity import posterior_js_divergences
+    ana = builder()
+    t0 = time.time()
+    ana.run(verbose=True, checkpoint=False)
+    t_ns = time.time() - t0
+    post_ns = ana.posterior_samples(rng=np.random.default_rng(0))
+    t0 = time.time()
+    post_mc = ana.run_mcmc(EnsembleMCMCConfig(
+        walkers=512, sweeps=3000, burn_frac=0.4, thin=4,
+        seed=ana.config.sampler.seed + 1))
+    t_mc = time.time() - t0
+    sampled = [k for k, v in post_ns.items()
+               if k != "log_likelihood" and np.std(v) > 0
+               and k in post_mc and np.std(post_mc[k]) > 0]
+    js = posterior_js_divergences(post_ns, post_mc, sampled)
+    rhat = float(np.nanmax(ana.mcmc_result.rhat))
+    row = {"config": num, "ns_wall_s": round(t_ns, 1),
+           "mcmc_wall_s": round(t_mc, 1),
+           "mcmc_max_rhat": round(rhat, 3),
+           "logz": round(float(ana.result.logz), 2),
+           "js_per_param": {k: round(float(v), 5) for k, v in js.items()},
+           "js_max": round(float(max(js.values())), 5),
+           "pass_js_lt_0p01": bool(max(js.values()) < 0.01)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    builders = {"1": _config1, "2": _config2, "3": _config3}
+    rows = []
+    for num, builder in builders.items():
+        if which not in (num, "all"):
+            continue
+        rows.append(run_config(int(num), builder))
+    out = os.path.join(REPO, "artifacts", "parity_cross_sampler.json")
+    existing = []
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+        existing = [r for r in existing
+                    if r["config"] not in {r2["config"] for r2 in rows}]
+    with open(out, "w") as f:
+        json.dump(sorted(existing + rows, key=lambda r: r["config"]), f,
+                  indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

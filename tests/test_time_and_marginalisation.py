@@ -41,3 +41,105 @@ def test_marginalised_lightcurve_expectation(rng):
     # predicted apparent mags at 40 Mpc in a plausible kilonova range
     med = bands[1][np.isfinite(bands[1])]
     assert 15.0 < np.nanmin(med) < 24.0
+
+
+def _write_coinc_xml(path, m1s, m2s):
+    cols = ["event_id", "mass1", "mass2", "spin1z", "spin2z"]
+    col_xml = "\n".join(
+        f'      <Column Name="sngl_inspiral:{c}" Type="real_8"/>'
+        if c != "event_id" else
+        f'      <Column Name="sngl_inspiral:{c}" Type="ilwd:char"/>'
+        for c in cols)
+    body = ",\n      ".join(
+        f'"sngl_inspiral:event_id:{i}",{m1!r},{m2!r},0.02,-0.01'
+        for i, (m1, m2) in enumerate(zip(m1s, m2s)))
+    path.write_text(f"""<?xml version='1.0' encoding='utf-8'?>
+<LIGO_LW>
+  <Table Name="sngl_inspiral:table">
+{col_xml}
+      <Stream Name="sngl_inspiral:table" Type="Local" Delimiter=",">
+      {body}
+      </Stream>
+  </Table>
+</LIGO_LW>
+""")
+
+
+def test_load_gw_samples_formats(tmp_path, rng):
+    """The reference's three marginalisation input formats + bilby
+    posteriors (ref post_processing/marginalisation.py:35-77)."""
+    from nmma_tpu.io.fits import write_bintable
+    from nmma_tpu.post_processing.marginalisation import (
+        load_gw_samples, skymap_distance_moments)
+
+    # 1) template ascii (8-column layout)
+    tpl = tmp_path / "template.dat"
+    rows = np.column_stack([
+        np.zeros(5), np.zeros(5), np.ones(5),          # SNRdiff, erf, w
+        rng.uniform(1.3, 1.6, 5), rng.uniform(1.1, 1.3, 5),
+        rng.uniform(-0.05, 0.05, 5), rng.uniform(-0.05, 0.05, 5),
+        rng.uniform(30, 50, 5)])
+    np.savetxt(tpl, rows)
+    d = load_gw_samples(template_file=str(tpl))
+    assert set(d) >= {"mass_1", "mass_2", "chirp_mass", "mass_ratio",
+                      "luminosity_distance", "a_1", "a_2", "weight"}
+    assert np.allclose(d["mass_1"], rows[:, 3])
+    assert np.allclose(d["weight"].sum(), 1.0)
+
+    # 2) bilby posterior csv (chirp-mass parameterization)
+    csv = tmp_path / "posterior.csv"
+    with open(csv, "w") as fh:
+        fh.write("chirp_mass,mass_ratio,luminosity_distance,theta_jn\n")
+        for _ in range(6):
+            fh.write(f"{rng.normal(1.1977, 1e-3)},{rng.uniform(0.7, 1)},"
+                     f"{rng.uniform(30, 50)},{rng.uniform(0, 1)}\n")
+    d = load_gw_samples(posterior_file=str(csv))
+    assert (d["mass_1"] >= d["mass_2"] - 1e-12).all()
+    mc = (d["mass_1"] * d["mass_2"]) ** 0.6 / \
+        (d["mass_1"] + d["mass_2"]) ** 0.2
+    assert np.allclose(mc, d["chirp_mass"], rtol=1e-10)
+
+    # 3) bilby json result
+    import json as _json
+    js = tmp_path / "result.json"
+    js.write_text(_json.dumps({"posterior": {"content": {
+        "chirp_mass": [1.197, 1.198], "mass_ratio": [0.9, 0.85],
+        "luminosity_distance": [40.0, 42.0], "theta_jn": [0.3, 0.4]}}}))
+    d = load_gw_samples(posterior_file=str(js))
+    assert len(d["mass_1"]) == 2
+
+    # 4) lalinference-layout hdf5
+    import h5py
+    h5 = tmp_path / "post.hdf5"
+    post = np.zeros(4, dtype=[("m1", "f8"), ("m2", "f8"), ("dist", "f8"),
+                              ("theta_jn", "f8"), ("t0", "f8")])
+    post["m1"] = rng.uniform(1.3, 1.6, 4)
+    post["m2"] = rng.uniform(1.1, 1.3, 4)
+    post["dist"] = rng.uniform(30, 50, 4)
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("lalinference/lalinference_mcmc/"
+                         "posterior_samples", data=post)
+    d = load_gw_samples(hdf5_file=str(h5))
+    assert np.allclose(d["luminosity_distance"], post["dist"])
+
+    # 5) coinc.xml + skymap FITS: flat map with the BAYESTAR distance
+    # ansatz rho(r) = N r^2 Normal(r; mu, sigma) per pixel
+    coinc = tmp_path / "coinc.xml"
+    _write_coinc_xml(coinc, [1.5, 1.45], [1.25, 1.3])
+    npix = 48
+    mu = np.full(npix, 40.0)
+    sigma = np.full(npix, 8.0)
+    norm = 1.0 / (mu ** 2 + sigma ** 2)
+    sky = tmp_path / "skymap.fits"
+    write_bintable(str(sky), {
+        "PROB": np.full(npix, 1.0 / npix), "DISTMU": mu,
+        "DISTSIGMA": sigma, "DISTNORM": norm})
+    mean, std = skymap_distance_moments(str(sky))
+    # analytic check: E[r] = N(mu^3 + 3 mu s^2)
+    assert mean == pytest.approx(
+        norm[0] * (mu[0] ** 3 + 3 * mu[0] * sigma[0] ** 2), rel=1e-6)
+    assert 0 < std < 20
+    d = load_gw_samples(coinc_file=str(coinc), skymap=str(sky), seed=1)
+    assert len(d["mass_1"]) == 2
+    assert np.isfinite(d["luminosity_distance"]).all()
+    assert d["a_1"][0] == pytest.approx(0.02)
