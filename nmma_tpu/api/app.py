@@ -62,28 +62,62 @@ def run_nmma_model(payload: dict) -> dict:
     }
     response = {
         "status": "success",
+        "message": f"Good results with log evidence={result.logz:.2f}",
         "log_evidence": result.logz,
         "log_evidence_err": result.logz_err,
         "n_likelihood_evaluations": result.ncall,
         "bestfit": analysis.bestfit_parameters(result),
         "posterior_quantiles": quantiles,
     }
+    # full-depth 'analysis' block mirroring the reference service's
+    # response shape (nmma/api/app.py:256-266: arviz-InferenceData
+    # netcdf + png plots + joblib results, all base64). arviz/netcdf/
+    # joblib are not dependencies here, so the posterior container is a
+    # base64 npz holding the complete per-parameter draw arrays — the
+    # same information an InferenceData posterior group carries — and
+    # the results blob is base64 json.
+    import base64
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in post.items()
+                     if np.ndim(v) == 1})
+    analysis_results = {
+        "inference_data": {
+            "format": "npz",
+            "data": base64.b64encode(buf.getvalue()).decode("ascii")},
+        "results": {
+            "format": "json",
+            "data": base64.b64encode(json.dumps({
+                "log_evidence": result.logz,
+                "log_evidence_err": result.logz_err,
+                "ncall": result.ncall,
+                "bestfit": response["bestfit"],
+                "quantiles": quantiles}).encode()).decode("ascii")},
+        "plots": [],
+    }
     if payload.get("return_plots"):
-        # base64-encoded PNGs, as the reference service returns
-        # (nmma/api/app.py plot_data webhooks)
-        import base64
         import os
 
         from ..plotting import corner_plot, lightcurve_fit_plot
         os.makedirs(cfg.outdir, exist_ok=True)
-        plots = {}
         lc_path = lightcurve_fit_plot(analysis)
         corner_path = os.path.join(cfg.outdir, f"{cfg.label}_corner.png")
         corner_plot(post, save_path=corner_path)
+        plots = {}
         for name, path in (("lightcurves", lc_path), ("corner", corner_path)):
             with open(path, "rb") as fh:
-                plots[name] = base64.b64encode(fh.read()).decode("ascii")
+                b64 = base64.b64encode(fh.read()).decode("ascii")
+            plots[name] = b64
+            analysis_results["plots"].append(
+                {"format": "png", "name": name, "data": b64})
         response["plots"] = plots
+    response["analysis"] = analysis_results
+    # reference webhook semantics (upload_analysis_results): POST the
+    # response to the payload's callback URL when one is given
+    if payload.get("callback_url") and \
+            payload.get("callback_method", "POST").upper() == "POST":
+        response.update(post_webhook(payload["callback_url"], response))
     return response
 
 

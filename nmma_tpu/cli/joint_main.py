@@ -211,9 +211,20 @@ def nmma_generation(cli_args=None):
 
     conversion = _build_conversion(args, injection, priors)
     if injection is not None:
-        inj_conv = conversion(injection)
-        inj_scalar = {k: float(np.asarray(v)) for k, v in inj_conv.items()
-                      if np.ndim(np.asarray(v)) == 0}
+        # jit ON THE HOST CPU: eager conversion is one remote RPC per op
+        # on the axon backend (45-450 s for this single call depending
+        # on tunnel health), and jitting it for the REMOTE device is no
+        # better — the remote compile of this 800-line scalar graph was
+        # measured at 489 s where the local CPU compiles it in 0.6 s.
+        # One scalar injection point has no business on an accelerator.
+        import jax as _jax
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            inj_conv = _jax.jit(conversion)(
+                {k: v for k, v in injection.items()
+                 if not isinstance(v, str)})
+            inj_scalar = {k: float(np.asarray(v))
+                          for k, v in inj_conv.items()
+                          if np.ndim(np.asarray(v)) == 0}
     _phase("setup_priors_conversion")
 
     # ---- GW data: real strain from disk, or zero-noise injection ----
@@ -340,11 +351,15 @@ def nmma_generation(cli_args=None):
 def _fill_from_priors(point, priors):
     """Complete a parameter dict with prior medians for any sampled
     parameter it lacks (systematics nodes, population hyper-params, ...)."""
+    import jax
     import jax.numpy as jnp
     point = dict(point)
-    u = priors.transform(jnp.full((priors.ndim,), 0.5))
-    for k, v in u.items():
-        point.setdefault(k, float(np.asarray(v)))
+    # jit on the host CPU: eager per-parameter transforms are one remote
+    # RPC each on axon, and a remote compile of a scalar graph is worse
+    with jax.default_device(jax.devices("cpu")[0]):
+        u = jax.jit(priors.transform)(jnp.full((priors.ndim,), 0.5))
+        for k, v in u.items():
+            point.setdefault(k, float(np.asarray(v)))
     return point
 
 

@@ -76,9 +76,17 @@ def create_light_curve_data(injection_parameters, model, filters,
         sample_times = np.geomspace(tmin, tmax, n_tsteps)
     lc_model = model if isinstance(model, DetectorLightCurveModel) else \
         DetectorLightCurveModel(model, filters, sample_times=sample_times)
-    obs_times, mags = lc_model(injection_parameters)
-    obs_times = np.asarray(obs_times)
-    mags = np.asarray(mags)
+    # jit ON THE HOST CPU: the eager detector map is one remote RPC per
+    # op on the axon backend (tens of seconds for a single synthesis),
+    # and remote compiles of single-point graphs have been measured at
+    # minutes — one injection point belongs on the host
+    import jax
+    clean = {k: v for k, v in injection_parameters.items()
+             if not isinstance(v, str)}
+    with jax.default_device(jax.devices("cpu")[0]):
+        obs_times, mags = jax.jit(lambda p: lc_model(p))(clean)
+        obs_times = np.asarray(obs_times)
+        mags = np.asarray(mags)
 
     if trigger_time is None:
         trigger_time = injection_parameters.get("trigger_time", 0.0)

@@ -72,3 +72,45 @@ def test_eggbox_like_multimodal_calibration():
           f"{rep:.3f} (ratio {emp / rep:.2f}); bias {bias:+.3f}")
     assert 0.3 < emp / rep < 3.0, (emp, rep)
     assert abs(bias) < 3.0 * max(rep, emp), (bias, rep)
+
+
+def test_correlated_prior_evidence():
+    """Analytic evidence with a CORRELATED prior (VERDICT r3 next #4c):
+    theta ~ N(m, Sigma_p) with rho = 0.7 enters through the unit-cube
+    transform theta = m + L_chol Phi^-1(u); likelihood N(theta; mu0,
+    sigma_l^2 I). Then Z = integral over u of L(theta(u)) du =
+    N(mu0; m, Sigma_p + sigma_l^2 I) in closed form — the Gaussian
+    convolution identity. Correlation makes the likelihood's support a
+    narrow diagonal ridge in u-space, the geometry uncorrelated-prior
+    cases never exercise."""
+    from jax.scipy.special import ndtri
+
+    rho, sig_p, sig_l = 0.7, 1.0, 0.3
+    m = np.array([0.2, -0.4])
+    mu0 = np.array([0.9, 0.1])
+    cov_p = sig_p**2 * np.array([[1.0, rho], [rho, 1.0]])
+    chol = np.linalg.cholesky(cov_p)
+    chol_j = jnp.asarray(chol)
+    m_j = jnp.asarray(m)
+    mu0_j = jnp.asarray(mu0)
+
+    def logl_fn(u):
+        z = ndtri(jnp.clip(u, 1e-7, 1.0 - 1e-7))
+        theta = m_j + z @ chol_j.T
+        r = theta - mu0_j
+        return (-0.5 * jnp.sum(r * r, axis=-1) / sig_l**2
+                - jnp.log(2 * jnp.pi * sig_l**2))
+
+    cov_z = cov_p + sig_l**2 * np.eye(2)
+    diff = mu0 - m
+    analytic = float(
+        -0.5 * diff @ np.linalg.solve(cov_z, diff)
+        - 0.5 * np.log((2 * np.pi) ** 2 * np.linalg.det(cov_z)))
+
+    emp, rep, bias, logzs, errs = _run_seeds(logl_fn, 2, analytic,
+                                             nlive=256)
+    print(f"\ncorrelated prior: empirical std(logz) {emp:.3f} vs "
+          f"reported {rep:.3f} (ratio {emp / rep:.2f}); bias {bias:+.3f}"
+          f" (analytic {analytic:+.3f})")
+    assert 0.3 < emp / rep < 3.0, (emp, rep)
+    assert abs(bias) < 3.0 * max(rep, emp), (bias, rep)

@@ -65,6 +65,20 @@ def test_analysis_web_service():
         med = out["posterior_quantiles"]["log10_mej"]["p50"]
         assert abs(med - truth["log10_mej"]) < 0.5
 
+        # full-depth analysis block (reference app.py:256-266 shape):
+        # the inference-data container must decode to the complete
+        # posterior draw arrays, the results blob to the summary json
+        import base64
+        import io
+        blk = out["analysis"]
+        assert blk["inference_data"]["format"] == "npz"
+        draws = np.load(io.BytesIO(base64.b64decode(
+            blk["inference_data"]["data"])))
+        assert "log10_mej" in draws.files
+        assert len(draws["log10_mej"]) > 50
+        res = json.loads(base64.b64decode(blk["results"]["data"]))
+        assert res["log_evidence"] == out["log_evidence"]
+
         # whitelist enforcement
         bad = dict(payload, model="NotAModel")
         req = urllib.request.Request(
