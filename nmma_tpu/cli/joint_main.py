@@ -192,6 +192,7 @@ def nmma_generation(cli_args=None):
 
     priors = load_prior_file(args.prior_file)
     waveform = get_waveform(args.waveform)
+    _phase("prior_waveform")
 
     strain_files = _per_ifo(args.strain_files)
     if not args.injection_file and not strain_files:
@@ -209,16 +210,20 @@ def nmma_generation(cli_args=None):
             injection.setdefault("lambda_1", 0.0)
             injection.setdefault("lambda_2", 0.0)
 
-    conversion = _build_conversion(args, injection, priors)
-    if injection is not None:
-        # jit ON THE HOST CPU: eager conversion is one remote RPC per op
-        # on the axon backend (45-450 s for this single call depending
-        # on tunnel health), and jitting it for the REMOTE device is no
-        # better — the remote compile of this 800-line scalar graph was
-        # measured at 489 s where the local CPU compiles it in 0.6 s.
-        # One scalar injection point has no business on an accelerator.
-        import jax as _jax
-        with _jax.default_device(_jax.devices("cpu")[0]):
+    # Build AND evaluate the one-point injection conversion ON THE HOST
+    # CPU: eager conversion is one remote RPC per op on the axon backend
+    # (45-450 s for this single call depending on tunnel health), the
+    # remote compile of this 800-line scalar graph was measured at 489 s
+    # where the local CPU compiles it in 0.6 s, and — the last leak —
+    # building the conversion under the default (TPU) device commits its
+    # EOS-table constants there, so a CPU jit then FETCHES each constant
+    # back over the tunnel (measured 48.7 s). One scalar injection point
+    # has no business touching an accelerator at all.
+    import jax as _jax
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        conversion = _build_conversion(args, injection, priors)
+        _phase("conversion_build")
+        if injection is not None:
             inj_conv = _jax.jit(conversion)(
                 {k: v for k, v in injection.items()
                  if not isinstance(v, str)})
@@ -299,14 +304,19 @@ def nmma_generation(cli_args=None):
         if args.filters:
             em_data = {f: em_data[f] for f in filters if f in em_data}
     elif args.em_model and inj_scalar is not None:
-        if args.svd_path:
-            from ..models.svd import SVDModelData, make_svd_source_model
-            make_svd_source_model(args.em_model,
-                                  SVDModelData.load(args.svd_path))
-        em_data = create_light_curve_data(
-            inj_scalar, model=args.em_model, filters=filters,
-            tmin=max(args.tmin, 0.3), tmax=min(args.tmax, 12.0), n_tsteps=20,
-            seed=args.generation_seed)
+        # register + synthesize under the HOST CPU device: constants
+        # created under the default (TPU) device would be fetched back
+        # over the tunnel one by one when the one-point synthesis jits
+        # on the CPU (measured 34 s for the SVD surrogate's tables)
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            if args.svd_path:
+                from ..models.svd import SVDModelData, make_svd_source_model
+                make_svd_source_model(args.em_model,
+                                      SVDModelData.load(args.svd_path))
+            em_data = create_light_curve_data(
+                inj_scalar, model=args.em_model, filters=filters,
+                tmin=max(args.tmin, 0.3), tmax=min(args.tmax, 12.0),
+                n_tsteps=20, seed=args.generation_seed)
 
     _phase("em_data")
 
@@ -327,14 +337,20 @@ def nmma_generation(cli_args=None):
         pickle.dump(dump, f)
 
     # test-build the likelihood with one evaluation (reference
-    # generation.py:209-213)
-    likelihood, priors = build_joint_likelihood(dump)
+    # generation.py:209-213) — ON THE HOST CPU, like the reference's
+    # generation host: the point of the test build is validating the
+    # assembled pipeline with one likelihood value, and a REMOTE compile
+    # of the full joint graph for a single point costs 79-240 s that the
+    # analysis stage pays again anyway for its batched executable. The
+    # host CPU builds and evaluates it in seconds. (Eager is not an
+    # option either way: complex ops are unimplemented eagerly on axon.)
     import jax
 
-    # jit: eager complex ops are UNIMPLEMENTED on the axon TPU backend
-    test_point = inj_scalar if inj_scalar is not None else fiducial
-    test_point = _fill_from_priors(test_point, priors)
-    logl = float(jax.jit(likelihood.log_likelihood)(test_point))
+    with jax.default_device(jax.devices("cpu")[0]):
+        likelihood, priors = build_joint_likelihood(dump)
+        test_point = inj_scalar if inj_scalar is not None else fiducial
+        test_point = _fill_from_priors(test_point, priors)
+        logl = float(jax.jit(likelihood.log_likelihood)(test_point))
     _phase("test_build_compile_eval")
     timings["total"] = round(sum(timings.values()), 2)
     meta_path = os.path.join(args.outdir,

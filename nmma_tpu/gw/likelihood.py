@@ -72,12 +72,17 @@ class InterferometerData:
         if psd is None:
             psd = aligo_design_psd(freqs)
         det = get_detector(name)
-        # jit the projection: the axon TPU backend lacks eager complex ops
+        # jit the projection ON THE HOST CPU: the axon TPU backend lacks
+        # eager complex ops, and a remote compile + round trip for ONE
+        # strain synthesis has been measured anywhere from 4 to 85 s
+        # under tunnel variance where the host CPU does it in ~1 s
         import jax as _jax
-        projected = _jax.jit(
-            lambda f: project_signal(det, waveform, f, injection_parameters,
-                                     trigger_time))(freqs)
-        strain = _to_host_complex(projected)
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            projected = _jax.jit(
+                lambda f: project_signal(det, waveform, f,
+                                         injection_parameters,
+                                         trigger_time))(freqs)
+            strain = _to_host_complex(projected)
         return cls(name=name, frequencies=freqs, strain=strain, psd=psd,
                    duration=duration)
 

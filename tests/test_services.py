@@ -186,3 +186,25 @@ def test_skyportal_bridge(tmp_path):
         {"photometry": str(photo_csv), "prior": "/nonexistent.prior"},
         outdir=tmp_path / "osg2", invoke=fake_invoke)
     assert bad["status"] == "failure" and "not found" in bad["message"]
+
+
+def test_skyportal_isot_fractional_seconds(tmp_path):
+    """_write_data_file emits fractional-second ISO timestamps that
+    round-trip through mjd_from_isot (real SkyPortal payloads carry
+    sub-second mjds; the integer-second formatter lost up to 0.5 s)."""
+    import pandas as pd
+
+    from nmma_tpu.io.photometry import mjd_from_isot
+    from nmma_tpu.skyportal import _write_data_file
+
+    mjds = [58000.123456789, 58001.000011574, 58002.999988426]
+    rows = [{"mjd": t, "filter": "ztfg", "mag": 20.0, "magerr": 0.1}
+            for t in mjds]
+    csv = tmp_path / "p.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    path, tmin = _write_data_file({"photometry": str(csv)}, tmp_path)
+    stamps = [line.split()[0] for line in path.read_text().splitlines()]
+    back = [mjd_from_isot(s) for s in stamps]
+    # millisecond precision: |dt| < 1e-3 s = 1.2e-8 d
+    np.testing.assert_allclose(back, mjds, atol=2e-8)
+    assert tmin == pytest.approx(min(mjds))
