@@ -381,6 +381,15 @@ def main():
             if dev_rate else None,
             "roofline_rate_source": "device_profiler" if dev_rate
             else "wall_clock",
+            # 'bytes accessed' is XLA's cost-model operand traffic,
+            # which counts fusion-internal reuse served from VMEM, so
+            # achieved_gbps is EFFECTIVE bandwidth and may exceed the
+            # 819 GB/s HBM peak — exceeding it means the kernel feeds
+            # the MXU mostly from on-chip memory (the desired state),
+            # not that HBM moves that many bytes.
+            "roofline_note": "bytes=XLA cost model (VMEM-served reuse "
+                             "counted); gbps>819 => VMEM-resident, "
+                             "compute-limited",
         },
     }
     print(json.dumps(result))
