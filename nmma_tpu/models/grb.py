@@ -112,22 +112,41 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
 
     Returns [F, T] flux densities.
     """
-    e0 = 10.0 ** (jnp.asarray(params["log10_E0"]) - 50.0)   # units of 1e50 erg
+    # log-space ingestion clamps: the reference SHIPS priors this wide
+    # (priors/TrPi2018.prior: log10_E0 in [0, 99], log10_n0 in [0, 15])
+    # and its f64 afterglowpy returns (absurd but) finite fluxes there;
+    # unclamped, 10^(lE0-50) overflows f32 above lE0 ~ 88 and a third
+    # of the wide prior evaluated to NaN (measured 2026-08-19). The
+    # clamps never bind within +-20 dex of the physical range, and
+    # points beyond them stay astronomically disfavoured but FINITE,
+    # so nested-sampling ordering works from anywhere in the prior.
+    e0 = 10.0 ** jnp.clip(jnp.asarray(params["log10_E0"]) - 50.0,
+                          -20.0, 20.0)                   # units of 1e50 erg
     theta_core = jnp.asarray(params["thetaCore"])
     theta_wing = jnp.asarray(params.get("thetaWing", 4.0 * theta_core))
     theta_v = jnp.asarray(params.get("inclination_EM", 0.0))
-    n0 = 10.0 ** jnp.asarray(params["log10_n0"])
+    n0 = 10.0 ** jnp.clip(jnp.asarray(params["log10_n0"]), -20.0, 20.0)
     p = jnp.asarray(params["p"])
-    eps_e = 10.0 ** jnp.asarray(params["log10_epsilon_e"])
-    eps_b = 10.0 ** jnp.asarray(params["log10_epsilon_B"])
+    eps_e = 10.0 ** jnp.clip(jnp.asarray(params["log10_epsilon_e"]),
+                             -20.0, 0.0)
+    eps_b = 10.0 ** jnp.clip(jnp.asarray(params["log10_epsilon_B"]),
+                             -20.0, 0.0)
     xi_n = jnp.asarray(params.get("xi_N", 1.0))
     # afterglowpy convention: explicit d_L in cm wins (the reference fixes
     # d_L = 3.086e19 cm = 10 pc so the flux is an absolute magnitude and
     # the detector assembly adds the distance modulus; model.py:933-936)
+    # carried as inv_dl26 = 1e26/d_L [cm]: the obvious d_l26 = d_L*1e-26
+    # is UNSAFE under jit — XLA reassociates (d_L*1e-26)*(d_L*1e-26)
+    # into d_L^2 * 1e-52 and d_L^2 (~1e39 cm^2 at 10 pc) overflows f32
+    # to inf (observed: all-NaN fluxes for the reference's pinned
+    # d_L=3.09e19 configs under jit while eager was fine). Every
+    # association order of inv_dl26 stays in f32 range for
+    # d_L in [10 pc, 100 Gpc].
     if "d_L" in params:
-        d_l = jnp.asarray(params["d_L"])
+        inv_dl26 = 1e26 / jnp.asarray(params["d_L"])
     else:
-        d_l = jnp.asarray(params["luminosity_distance"]) * _MPC_CM
+        inv_dl26 = (1e26 / _MPC_CM) / jnp.asarray(
+            params["luminosity_distance"])
     z = jnp.asarray(params.get("redshift", 0.0))
     b_pl = jnp.asarray(params.get("b", 6.0))
 
@@ -479,10 +498,11 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     flux50 = flux_elems * ((2.0 * jnp.pi / n_phi)
                            * d_cos[:, None, None])                 # [Th, F, T]
     # F[mJy] = sum * 1e50 / (4 pi dL^2) / 1e-26; dL^2 (~1e53 cm^2)
-    # overflows f32, so scale distance as dL26 = dL/1e26 cm
-    d_l26 = d_l * 1e-26
+    # overflows f32, so the distance rides as inv_dl26 = 1e26/dL (see
+    # the parameter block: the product form is reassociation-safe)
     coef = (1e50 / 1e52 / (4.0 * np.pi)) / _MJY   # == 1e24 / 4pi
-    return jnp.sum(flux50, axis=0) * coef / (d_l26 * d_l26)        # [F, T] mJy
+    return (jnp.sum(flux50, axis=0) * coef
+            * (inv_dl26 * inv_dl26))                               # [F, T] mJy
 
 
 def _eats_stage2_xla(t_delay, log_tracks, r_grid, scal, log_q, cphi,

@@ -326,3 +326,48 @@ def test_grb_pe_smoke_recovery():
     assert np.isfinite(res.logz)
     assert abs(np.median(post["log10_E0"]) - truth["log10_E0"]) < 0.4
     assert abs(np.median(post["log10_n0"]) - truth["log10_n0"]) < 0.9
+
+
+def test_jit_eager_agreement_pinned_dl():
+    """Regression: under jit, XLA reassociated (d_L*1e-26)^2 into
+    d_L^2 * 1e-52 and d_L^2 (~1e39 at the reference's pinned
+    d_L = 3.09e19 cm) overflowed f32 to inf -> all-NaN fluxes, while
+    eager evaluation was fine. The inverse-scaled-distance form must
+    make jit and eager agree (2026-08-19)."""
+    import jax
+
+    t_grid = np.geomspace(0.1, 41.0, 32)
+    nu = np.array([6.3e14])
+    params = dict(log10_E0=50.0, thetaCore=0.066, thetaWing=0.47,
+                  inclination_EM=0.4, log10_n0=-2.7, p=2.17,
+                  log10_epsilon_e=-1.4, log10_epsilon_B=-4.0,
+                  xi_N=1.0, d_L=3.0899999686877e19)
+    f_eager = np.asarray(grb_afterglow_flux_density(t_grid, nu, params))
+    f_jit = np.asarray(jax.jit(
+        lambda p: grb_afterglow_flux_density(t_grid, nu, p))(params))
+    assert np.isfinite(f_eager).all() and (f_eager > 0).all()
+    np.testing.assert_allclose(f_jit, f_eager, rtol=5e-5)
+
+
+def test_wide_reference_prior_no_nan_rows():
+    """The reference SHIPS priors/TrPi2018.prior with log10_E0 in
+    [0, 99] and log10_n0 in [0, 15]; the f32 kernel must stay
+    NaN-free over (almost all of) that range via the log-space
+    ingestion clamps — unclamped, a third of the prior evaluated to
+    NaN (measured 2026-08-19). All-zero rows (mag inf) are fine:
+    undetectably faint is a sentinel the likelihood handles."""
+    import jax
+    import jax.numpy as jnp
+
+    from nmma_tpu.priors import load_prior_file
+
+    gp = load_prior_file("/root/reference/priors/TrPi2018.prior")
+    batch = gp.transform(gp.sample_units(jax.random.PRNGKey(2), 64))
+    t_grid = np.geomspace(0.1, 30.0, 16)
+    nu = np.array([4.8e14])
+    out = np.asarray(jax.jit(jax.vmap(
+        lambda p: grb_afterglow_flux_density(
+            t_grid, nu, p, n_theta=8, n_phi=4, n_r=128)))(
+        {k: jnp.asarray(v) for k, v in batch.items()}))
+    nan_rows = np.isnan(out).any(axis=(1, 2)).mean()
+    assert nan_rows <= 0.05, f"NaN over {nan_rows:.0%} of the wide prior"
