@@ -32,6 +32,7 @@ via Ryan et al. 2020); parity pinned by tests/test_pallas_grb.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +46,12 @@ _CHUNK_B = 128
 
 def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
                  out_ref):
-    """One (live point, theta ring): phi-summed flux elements [T, F_pad].
+    """One (live point, theta-ring block): phi-summed flux [RB, T, F_pad].
+
+    The ring axis is blocked (RB rings per program, statically
+    unrolled) so each program amortizes its setup/DMA over RB hat
+    builds + dots — the round-4 restructuring attacking the measured
+    per-program overhead of the 12k-program (1 ring/program) form.
 
     All phi samples are processed as ONE [Ph*T, R] block — a serialized
     per-phi loop with a loop-carried accumulator starves the VPU (measured
@@ -63,9 +69,10 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
     (lanes 0-4 = log gamma/nu_m'/nu_c'/em50/theta, lane 5 = ones for
     the hat row sum, lanes 6-7 zero); out (1, 1, T, F_pad) VMEM.
     """
-    n_phi = logt_ref.shape[2]
+    n_phi = logt_ref.shape[3]
     n_t = lq_ref.shape[0]
-    f_pad = out_ref.shape[3]
+    f_pad = out_ref.shape[4]
+    ring_block = logt_ref.shape[2]
     pt = n_phi * n_t
 
     i = pl.program_id(0)
@@ -79,88 +86,91 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
     nu_row = nu_ref[0:1, :]                             # [1, F_pad]
     one_p_z = 1.0 + z
 
-    lt = logt_ref[0, 0, :, :]                           # [Ph, R]
-    x_l = jnp.concatenate([lt[:, :1], lt[:, :-1]], axis=1)
-    x_r = jnp.concatenate([lt[:, 1:], lt[:, -1:]], axis=1)
-    inv_dl = (1.0 / jnp.maximum(lt - x_l, 1e-12))[:, None, :]
-    inv_dr = (1.0 / jnp.maximum(x_r - lt, 1e-12))[:, None, :]
-    x_l3 = x_l[:, None, :]                              # [Ph, 1, R]
-    x_r3 = x_r[:, None, :]
-    up = (lq3 - x_l3) * inv_dl                          # [Ph, T, R]
-    dn = (x_r3 - lq3) * inv_dr
-    hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0).reshape(pt, lt.shape[1])
-
-    # ONE MXU dot replaces the round-3 kernel's seven VPU lane
-    # reductions (5 track contractions + hat-sum + in-range max), the
-    # measured bottleneck (260 ms vs 72 ms XLA at B=256): tracks arrive
-    # pre-transposed as [R, 8] with lane 5 = ones, so raw[:, 5] is the
-    # hat row sum — both the convex-combination denominator (duplicate
-    # cummax-plateau nodes each claim weight 1) and the in-range test
-    # (out-of-range rows have an ALL-ZERO hat: lq < lt[0] makes every
-    # up <= 0, lq > lt[-1] every dn <= 0; in-range rows sum >= 1).
-    raw = jnp.dot(hat, tracks_ref[0, 0],
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)  # [Ph*T, 8]
-    hat_sum = raw[:, 5:6]
-    inv_denom = 1.0 / jnp.maximum(hat_sum, 1.0)
-    in_r = hat_sum > 0.5
-
-    g = jnp.exp(raw[:, 0:1] * inv_denom)
-    num = jnp.exp(raw[:, 1:2] * inv_denom)
-    nuc = jnp.exp(raw[:, 2:3] * inv_denom)
-    em50 = jnp.where(in_r, jnp.exp(raw[:, 3:4] * inv_denom), 0.0)
-    th_t = jnp.exp(raw[:, 4:5] * inv_denom)
-
     cphi_el = jnp.broadcast_to(
         cphi_ref[0:n_phi, 0:1][:, None, :], (n_phi, n_t, 1)).reshape(pt, 1)
     w_el = jnp.broadcast_to(
         cphi_ref[n_phi:2 * n_phi, 0:1][:, None, :],
         (n_phi, n_t, 1)).reshape(pt, 1)
-
-    # stable 1 - mu (see models/grb.py one_minus_mu)
-    omm = (2.0 * jnp.sin(0.5 * (theta_v - th_t)) ** 2
-           + sin_tv * jnp.sin(th_t) * (1.0 - cphi_el))
-    u2 = jnp.maximum(g * g - 1.0, 1e-12)
-    u = jnp.sqrt(u2)
-    be = u / g
-    one_m_be = 1.0 / (g * g * (1.0 + be))
-    a_fac = one_m_be + be * omm                         # 1 - beta mu
-    inv_gd = g * a_fac                                  # 1 / doppler
-    s_sh = jnp.sqrt(1.0 + 1.0 / u2)
-    one_m_bs = (3.0 - 4.0 / (s_sh + 1.0)) / (4.0 * u2 + 3.0)
-    ashock = one_m_bs + (1.0 - one_m_bs) * omm          # 1 - beta_sh mu
-
-    nu_prime = nu_row * (one_p_z * inv_gd)              # [Ph*T, F]
-    # broken power-law synchrotron spectrum (SPN98), slow + fast
-    # cooling — identical branch structure to _synchrotron_shape;
-    # power() spelled exp(e log x) (operands strictly positive)
-    l_nu = jnp.log(nu_prime)
-    l_num = jnp.log(num)
-    l_nuc = jnp.log(nuc)
     third = jnp.float32(1.0 / 3.0)
     e_mid = -(p - 1.0) / 2.0
     e_hi = -p / 2.0
-    slow = jnp.where(
-        nu_prime < num,
-        jnp.exp(third * (l_nu - l_num)),
-        jnp.where(nu_prime < nuc,
-                  jnp.exp(e_mid * (l_nu - l_num)),
-                  jnp.exp(e_mid * (l_nuc - l_num)
-                          + e_hi * (l_nu - l_nuc))))
-    fast = jnp.where(
-        nu_prime < nuc,
-        jnp.exp(third * (l_nu - l_nuc)),
-        jnp.where(nu_prime < num,
-                  jnp.exp(-0.5 * (l_nu - l_nuc)),
-                  jnp.exp(-0.5 * (l_num - l_nuc)
-                          + e_hi * (l_nu - l_num))))
-    shape = jnp.where(num <= nuc, slow, fast)           # [Ph*T, F]
-    # (1+z) delta^2 em50 shape / (1 - mu beta_sh): the optically-thin
-    # EATS volume integrand (see models/grb.py element_flux), times the
-    # phi quadrature weight (Gauss-Legendre by default)
-    flux = (w_el * one_p_z * em50 / (inv_gd * inv_gd * ashock)) * shape
-    out_ref[0, 0, :, :] = jnp.sum(
-        flux.reshape(n_phi, n_t, f_pad), axis=0)
+
+    for k in range(ring_block):                         # static unroll
+        lt = logt_ref[0, 0, k, :, :]                    # [Ph, R]
+        x_l = jnp.concatenate([lt[:, :1], lt[:, :-1]], axis=1)
+        x_r = jnp.concatenate([lt[:, 1:], lt[:, -1:]], axis=1)
+        inv_dl = (1.0 / jnp.maximum(lt - x_l, 1e-12))[:, None, :]
+        inv_dr = (1.0 / jnp.maximum(x_r - lt, 1e-12))[:, None, :]
+        x_l3 = x_l[:, None, :]                          # [Ph, 1, R]
+        x_r3 = x_r[:, None, :]
+        up = (lq3 - x_l3) * inv_dl                      # [Ph, T, R]
+        dn = (x_r3 - lq3) * inv_dr
+        hat = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0).reshape(
+            pt, lt.shape[1])
+
+        # ONE MXU dot replaces the round-3 kernel's seven VPU lane
+        # reductions (5 track contractions + hat-sum + in-range max),
+        # the measured bottleneck (260 ms vs 72 ms XLA at B=256):
+        # tracks arrive pre-transposed as [R, 8] with lane 5 = ones,
+        # so raw[:, 5] is the hat row sum — both the convex-combination
+        # denominator (duplicate cummax-plateau nodes each claim
+        # weight 1) and the in-range test (out-of-range rows have an
+        # ALL-ZERO hat: lq < lt[0] makes every up <= 0, lq > lt[-1]
+        # every dn <= 0; in-range rows sum >= 1).
+        raw = jnp.dot(hat, tracks_ref[0, 0, k],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # [Ph*T, 8]
+        hat_sum = raw[:, 5:6]
+        inv_denom = 1.0 / jnp.maximum(hat_sum, 1.0)
+        in_r = hat_sum > 0.5
+
+        g = jnp.exp(raw[:, 0:1] * inv_denom)
+        num = jnp.exp(raw[:, 1:2] * inv_denom)
+        nuc = jnp.exp(raw[:, 2:3] * inv_denom)
+        em50 = jnp.where(in_r, jnp.exp(raw[:, 3:4] * inv_denom), 0.0)
+        th_t = jnp.exp(raw[:, 4:5] * inv_denom)
+
+        # stable 1 - mu (see models/grb.py one_minus_mu)
+        omm = (2.0 * jnp.sin(0.5 * (theta_v - th_t)) ** 2
+               + sin_tv * jnp.sin(th_t) * (1.0 - cphi_el))
+        u2 = jnp.maximum(g * g - 1.0, 1e-12)
+        u = jnp.sqrt(u2)
+        be = u / g
+        one_m_be = 1.0 / (g * g * (1.0 + be))
+        a_fac = one_m_be + be * omm                     # 1 - beta mu
+        inv_gd = g * a_fac                              # 1 / doppler
+        s_sh = jnp.sqrt(1.0 + 1.0 / u2)
+        one_m_bs = (3.0 - 4.0 / (s_sh + 1.0)) / (4.0 * u2 + 3.0)
+        ashock = one_m_bs + (1.0 - one_m_bs) * omm      # 1 - beta_sh mu
+
+        nu_prime = nu_row * (one_p_z * inv_gd)          # [Ph*T, F]
+        # broken power-law synchrotron spectrum (SPN98), slow + fast
+        # cooling — identical branch structure to _synchrotron_shape;
+        # power() spelled exp(e log x) (operands strictly positive)
+        l_nu = jnp.log(nu_prime)
+        l_num = jnp.log(num)
+        l_nuc = jnp.log(nuc)
+        slow = jnp.where(
+            nu_prime < num,
+            jnp.exp(third * (l_nu - l_num)),
+            jnp.where(nu_prime < nuc,
+                      jnp.exp(e_mid * (l_nu - l_num)),
+                      jnp.exp(e_mid * (l_nuc - l_num)
+                              + e_hi * (l_nu - l_nuc))))
+        fast = jnp.where(
+            nu_prime < nuc,
+            jnp.exp(third * (l_nu - l_nuc)),
+            jnp.where(nu_prime < num,
+                      jnp.exp(-0.5 * (l_nu - l_nuc)),
+                      jnp.exp(-0.5 * (l_num - l_nuc)
+                              + e_hi * (l_nu - l_num))))
+        shape = jnp.where(num <= nuc, slow, fast)       # [Ph*T, F]
+        # (1+z) delta^2 em50 shape / (1 - mu beta_sh): the optically-
+        # thin EATS volume integrand (see models/grb.py element_flux),
+        # times the phi quadrature weight (Gauss-Legendre by default)
+        flux = (w_el * one_p_z * em50 / (inv_gd * inv_gd * ashock)) * shape
+        out_ref[0, 0, k, :, :] = jnp.sum(
+            flux.reshape(n_phi, n_t, f_pad), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -190,6 +200,14 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
     pad_b = (-b) % chunk
     bp = b + pad_b
     nc = bp // chunk
+
+    # theta rings per program: amortizes per-program setup/DMA over RB
+    # statically-unrolled hat builds + dots (the 1-ring/program form's
+    # 12k tiny programs were the measured overhead wall — 195 ms vs
+    # 24.3 ms XLA at B=256). Largest divisor of n_theta <= the target.
+    rb_want = int(os.environ.get("NMMA_TPU_GRB_RING_BLOCK", "8"))
+    ring_block = max(k for k in range(1, min(rb_want, n_theta) + 1)
+                     if n_theta % k == 0)
 
     def pad0(x):
         return jnp.pad(x, ((0, pad_b),) + ((0, 0),) * (x.ndim - 1))
@@ -235,9 +253,14 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
              jnp.ones((chunk, n_theta, n_r, 1), trk.dtype),
              jnp.zeros((chunk, n_theta, n_r, 2), trk.dtype)],
             axis=3)                                     # [C, Th, R, 8]
+        # logt/tracks reshaped so the ring-block is a leading block dim:
+        # [C, Th/RB, RB, Ph, R] and [C, Th/RB, RB, R, 8]
+        n_jb = n_theta // ring_block
+        log_t3 = log_t3.reshape(chunk, n_jb, ring_block, n_phi, n_r)
+        trk8 = trk8.reshape(chunk, n_jb, ring_block, n_r, 8)
         out = pl.pallas_call(
             _eats_kernel,
-            grid=(chunk, n_theta),
+            grid=(chunk, n_jb),
             interpret=interpret,
             in_specs=[
                 pl.BlockSpec((chunk, 8), lambda i, j: (0, 0),
@@ -248,23 +271,25 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, f_pad), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n_phi, n_r), lambda i, j: (i, j, 0, 0),
+                pl.BlockSpec((1, 1, ring_block, n_phi, n_r),
+                             lambda i, j: (i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n_r, 8), lambda i, j: (i, j, 0, 0),
+                pl.BlockSpec((1, 1, ring_block, n_r, 8),
+                             lambda i, j: (i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, n_t, f_pad),
-                                   lambda i, j: (i, j, 0, 0),
+            out_specs=pl.BlockSpec((1, 1, ring_block, n_t, f_pad),
+                                   lambda i, j: (i, j, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((chunk, n_theta, n_t, f_pad),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (chunk, n_jb, ring_block, n_t, f_pad), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 # both grid axes are independent programs: lets Mosaic
                 # overlap the per-program DMAs instead of serializing
-                # 12k tiny pipeline stages
+                # the pipeline stages
                 dimension_semantics=("parallel", "parallel")),
         )(sc, cphi_v, lq2d, nu_pad, log_t3, trk8)
-        return out
+        return out.reshape(chunk, n_theta, n_t, f_pad)
 
     outs = jax.lax.map(chunk_fn, (t_delay_p, tracks_p, r_grid_p, scal_p))
     out = outs.reshape(bp, n_theta, n_t, f_pad)[:b, :, :, :n_f]
