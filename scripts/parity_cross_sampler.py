@@ -107,12 +107,32 @@ def _config3():
         outdir=os.path.join(REPO, "outdir_grb"), label="parity_trpi2018",
         sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
                                     dlogz=0.3, chunk_size=5))
-    return EMAnalysis(cfg, data=data, priors=priors)
+    ana = EMAnalysis(cfg, data=data, priors=priors)
+    # the GRB EATS intermediates are ~0.8 MB/eval ([Th, Ph, R] tensors);
+    # cap the single-dispatch batch well under the SVD-path 8192 so the
+    # 512-walker MCMC half-updates cannot exhaust HBM alongside the NS
+    # executables already resident in this process
+    ana.MAX_DISPATCH_BATCH = 1024
+    return ana
+
+
+# per-config MCMC budgets: config 1 (Me2017) has beta/kappa/mej
+# degeneracies that need long mixing (3000 sweeps measured R-hat 1.3);
+# config 3 (GRB) trades walkers for sweeps to bound the batched-eval
+# memory footprint
+MCMC_SETTINGS = {
+    1: dict(walkers=1024, sweeps=10000, burn_frac=0.5, thin=8),
+    2: dict(walkers=512, sweeps=3000, burn_frac=0.4, thin=4),
+    3: dict(walkers=256, sweeps=6000, burn_frac=0.5, thin=8),
+}
 
 
 def run_config(num, builder):
+    import jax
+
     from nmma_tpu.inference import EnsembleMCMCConfig
     from nmma_tpu.post_processing.parity import posterior_js_divergences
+    jax.clear_caches()  # drop prior configs' executables from HBM
     ana = builder()
     t0 = time.time()
     ana.run(verbose=True, checkpoint=False)
@@ -120,8 +140,7 @@ def run_config(num, builder):
     post_ns = ana.posterior_samples(rng=np.random.default_rng(0))
     t0 = time.time()
     post_mc = ana.run_mcmc(EnsembleMCMCConfig(
-        walkers=512, sweeps=3000, burn_frac=0.4, thin=4,
-        seed=ana.config.sampler.seed + 1))
+        seed=ana.config.sampler.seed + 1, **MCMC_SETTINGS[num]))
     t_mc = time.time() - t0
     sampled = [k for k, v in post_ns.items()
                if k != "log_likelihood" and np.std(v) > 0
