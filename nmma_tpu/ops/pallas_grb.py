@@ -49,9 +49,10 @@ def _eats_kernel(scal_ref, cphi_ref, lq_ref, nu_ref, logt_ref, tracks_ref,
     """One (live point, theta-ring block): phi-summed flux [RB, T, F_pad].
 
     The ring axis is blocked (RB rings per program, statically
-    unrolled) so each program amortizes its setup/DMA over RB hat
-    builds + dots — the round-4 restructuring attacking the measured
-    per-program overhead of the 12k-program (1 ring/program) form.
+    unrolled). Blocking was tried as an attack on per-program overhead
+    of the 12k-program (1 ring/program) form; the measurement refuted
+    that hypothesis (see eats_flux_pallas) — the blocked form is kept
+    because it is no slower and halves the program count.
 
     All phi samples are processed as ONE [Ph*T, R] block — a serialized
     per-phi loop with a loop-carried accumulator starves the VPU (measured
@@ -201,11 +202,17 @@ def eats_flux_pallas(t_delay, log_tracks, r_grid, scal, log_q, cphi,
     bp = b + pad_b
     nc = bp // chunk
 
-    # theta rings per program: amortizes per-program setup/DMA over RB
-    # statically-unrolled hat builds + dots (the 1-ring/program form's
-    # 12k tiny programs were the measured overhead wall — 195 ms vs
-    # 24.3 ms XLA at B=256). Largest divisor of n_theta <= the target.
-    rb_want = int(os.environ.get("NMMA_TPU_GRB_RING_BLOCK", "8"))
+    # theta rings per program, statically unrolled. Measured on the
+    # v5e (B=256): RB=8 OOMs scoped VMEM (45.4 MB vs the 16 MB stack
+    # limit), RB=2 fits but lands at 204 ms vs 195 ms for RB=1 — i.e.
+    # per-program overhead was NOT the wall. The kernel is bound by
+    # the per-ring [Ph*T, R]x[R, 8] dot (8 of 128 MXU result lanes
+    # used) plus the VPU hat build; the XLA path wins (21.9 ms) by
+    # batching the hat contraction across all rings and live points
+    # into one large bf16 einsum. Documented negative result: the
+    # Pallas form stays opt-in, default ring block 2 (largest that
+    # cannot OOM).
+    rb_want = int(os.environ.get("NMMA_TPU_GRB_RING_BLOCK", "2"))
     ring_block = max(k for k in range(1, min(rb_want, n_theta) + 1)
                      if n_theta % k == 0)
 
