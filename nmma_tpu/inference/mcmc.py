@@ -32,6 +32,13 @@ class EnsembleMCMCConfig:
     sweeps: int = 1500           # full red+black update sweeps
     burn_frac: float = 0.3       # fraction of sweeps discarded
     thin: int = 2                # keep every thin-th sweep
+    chunk_sweeps: int = 500      # sweeps per device dispatch (bounds the
+    #                              runtime of a single execution: one
+    #                              monolithic scan of ~10k sweeps runs
+    #                              minutes on-device, which remote-TPU
+    #                              transports kill; the chunked loop is
+    #                              the same chain — identical per-sweep
+    #                              keys in the same order)
     stretch_a: float = 2.0       # stretch-move scale parameter
     temps: int = 1               # parallel-tempering ladder size
     t_max: float = 64.0          # hottest temperature (geometric ladder)
@@ -190,14 +197,40 @@ class EnsembleMCMC:
             x, logl = self._swap(k4, x, logl, betas, 1)
             return (x, logl), (x[0], logl, na + nb)
 
+        @jax.jit
+        def run_block(x, logl, block_keys):
+            (x, logl), (xs_b, ls_b, na_b) = jax.lax.scan(
+                sweep, (x, logl), block_keys)
+            return x, logl, xs_b, ls_b, jnp.sum(na_b)
+
         keys = jax.random.split(k_run, cfg.sweeps)
-        (_, _), (xs, ls_all, naccs) = jax.lax.scan(sweep, (x0, l0), keys)
+        chunk = max(1, min(int(cfg.chunk_sweeps), cfg.sweeps))
+        x, logl = x0, l0
+        xs_parts, ls_parts = [], []
+        n_acc = 0
+        done = 0
+        while done < cfg.sweeps:
+            nb = min(chunk, cfg.sweeps - done)
+            x, logl, xs_b, ls_b, na_b = run_block(
+                x, logl, keys[done:done + nb])
+            # np.asarray blocks until the dispatch completes, so at most
+            # one chunk is ever in flight on the device
+            xs_parts.append(np.asarray(xs_b))
+            ls_parts.append(np.asarray(ls_b))
+            n_acc += int(na_b)
+            done += nb
+            if verbose:
+                print(f"ensemble-mcmc: sweep {done}/{cfg.sweeps} "
+                      f"cold acceptance {n_acc / (done * cfg.walkers):.2f}",
+                      flush=True)
+        xs = np.concatenate(xs_parts)                       # [S, W, d]
+        ls_all = np.concatenate(ls_parts)                   # [S, K, W]
 
         burn = int(cfg.sweeps * cfg.burn_frac)
-        xs = np.asarray(xs[burn::cfg.thin])                 # [n, W, d]
-        ls_all = np.asarray(ls_all[burn::cfg.thin])         # [n, K, W]
+        xs = xs[burn::cfg.thin]                             # [n, W, d]
+        ls_all = ls_all[burn::cfg.thin]                     # [n, K, W]
         ls = ls_all[:, 0]                                   # cold chain
-        acc = float(np.asarray(naccs).sum()) / (cfg.sweeps * cfg.walkers)
+        acc = n_acc / (cfg.sweeps * cfg.walkers)
         rhat = _rhat(xs)
         logz, logz_err = (self._stepping_stone(ls_all, np.asarray(betas))
                           if cfg.evidence else (float("nan"),

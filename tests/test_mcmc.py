@@ -103,6 +103,21 @@ def test_stepping_stone_evidence():
                                             0.05), (res.logz, r.logz)
 
 
+def test_chunked_scan_matches_monolithic():
+    """chunk_sweeps bounds single-dispatch runtime (remote TPU workers
+    kill multi-minute executions) without changing the chain: the same
+    per-sweep keys are consumed in the same order, so the trajectory is
+    bitwise identical whatever the chunking — including a chunk that
+    does not divide the sweep count."""
+    chunked = EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(
+        walkers=32, sweeps=50, chunk_sweeps=7, seed=3)).run()
+    mono = EnsembleMCMC(_logl, 2, EnsembleMCMCConfig(
+        walkers=32, sweeps=50, chunk_sweeps=500, seed=3)).run()
+    assert np.array_equal(chunked.chain_u, mono.chain_u)
+    assert np.array_equal(chunked.logl, mono.logl)
+    assert chunked.acceptance == mono.acceptance
+
+
 def test_evidence_requires_ladder():
     import pytest
     with pytest.raises(ValueError):
