@@ -181,7 +181,12 @@ class EnsembleMCMC:
         k_init, k_run = jax.random.split(key)
         x0 = jax.random.uniform(k_init, (kt, cfg.walkers, self.ndim),
                                 minval=1e-4, maxval=1.0 - 1e-4)
-        l0 = self.logl_fn(x0.reshape(-1, self.ndim)).reshape(
+        # jit the init evaluation: an eager call would dispatch the
+        # vmapped likelihood op-by-op, materialising every unfused
+        # intermediate at full batch width in HBM (the GRB EATS hat
+        # tensors alone are ~GBs at 256 walkers — observed
+        # RESOURCE_EXHAUSTED) and taking seconds/op on remote backends
+        l0 = jax.jit(self.logl_fn)(x0.reshape(-1, self.ndim)).reshape(
             kt, cfg.walkers)
 
         def sweep(carry, ks):

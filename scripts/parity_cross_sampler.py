@@ -117,11 +117,14 @@ def _config3():
 
 
 # per-config MCMC budgets: config 1 (Me2017) has beta/kappa/mej
-# degeneracies that need long mixing (3000 sweeps measured R-hat 1.3);
-# config 3 (GRB) trades walkers for sweeps to bound the batched-eval
-# memory footprint
+# degeneracies that plain stretch moves cannot mix (1024 walkers x
+# 10000 sweeps measured R-hat 1.40) — it gets a parallel-tempering
+# ladder, whose replica exchange carries walkers across the degeneracy
+# ridge; config 3 (GRB) trades walkers for sweeps to bound the
+# batched-eval memory footprint
 MCMC_SETTINGS = {
-    1: dict(walkers=1024, sweeps=10000, burn_frac=0.5, thin=8),
+    1: dict(walkers=512, sweeps=8000, burn_frac=0.5, thin=8,
+            temps=4, t_max=32.0),
     2: dict(walkers=512, sweeps=3000, burn_frac=0.4, thin=4),
     3: dict(walkers=256, sweeps=6000, burn_frac=0.5, thin=8),
 }
@@ -138,6 +141,14 @@ def run_config(num, builder):
     ana.run(verbose=True, checkpoint=False)
     t_ns = time.time() - t0
     post_ns = ana.posterior_samples(rng=np.random.default_rng(0))
+    # drop the NS executables (and their reserved workspace) before the
+    # MCMC compiles its own batch shapes: on the GRB config the
+    # combined footprint RESOURCE_EXHAUSTEDs the chip
+    jax.clear_caches()
+    stats = jax.local_devices()[0].memory_stats() or {}
+    if "bytes_in_use" in stats:
+        print(f"hbm in use before mcmc: "
+              f"{stats['bytes_in_use'] / 1e9:.2f} GB", flush=True)
     t0 = time.time()
     post_mc = ana.run_mcmc(EnsembleMCMCConfig(
         seed=ana.config.sampler.seed + 1, **MCMC_SETTINGS[num]))
@@ -158,25 +169,28 @@ def run_config(num, builder):
     return row
 
 
-def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    builders = {"1": _config1, "2": _config2, "3": _config3}
-    rows = []
-    for num, builder in builders.items():
-        if which not in (num, "all"):
-            continue
-        rows.append(run_config(int(num), builder))
+def _merge_write(row):
+    """Write after EVERY config so a crash in config N cannot lose the
+    rows already measured (it did, twice, before this)."""
     out = os.path.join(REPO, "artifacts", "parity_cross_sampler.json")
     existing = []
     if os.path.exists(out):
         with open(out) as f:
             existing = json.load(f)
-        existing = [r for r in existing
-                    if r["config"] not in {r2["config"] for r2 in rows}]
+        existing = [r for r in existing if r["config"] != row["config"]]
     with open(out, "w") as f:
-        json.dump(sorted(existing + rows, key=lambda r: r["config"]), f,
+        json.dump(sorted(existing + [row], key=lambda r: r["config"]), f,
                   indent=2)
     print(f"wrote {out}")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    builders = {"1": _config1, "2": _config2, "3": _config3}
+    for num, builder in builders.items():
+        if which not in (num, "all"):
+            continue
+        _merge_write(run_config(int(num), builder))
 
 
 if __name__ == "__main__":
