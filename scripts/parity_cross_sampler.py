@@ -38,7 +38,11 @@ def _config1():
         light_curve_data=DATA, trigger_time=TRIGGER_MJD, data_tmax=12.0,
         error_budget=1.0, outdir=os.path.join(REPO, "outdir_production"),
         label="parity_me2017",
-        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+        # production-grade NS mixing: at nlive=512/walks=16 the NS tail
+        # of the beta/timeshift degeneracy disagreed with a CONVERGED
+        # tempered MCMC (R-hat 1.097) by ~0.25 sigma in the timeshift
+        # mean — more live points + longer walks resolve the tail
+        sampler=NestedSamplerConfig(nlive=1024, n_delete=128, walks=32,
                                     dlogz=0.1, chunk_size=5))
     return EMAnalysis(cfg)
 
@@ -123,10 +127,11 @@ def _config3():
 # ridge; config 3 (GRB) trades walkers for sweeps to bound the
 # batched-eval memory footprint
 MCMC_SETTINGS = {
-    1: dict(walkers=512, sweeps=8000, burn_frac=0.5, thin=8,
+    1: dict(walkers=1024, sweeps=12000, burn_frac=0.5, thin=8,
             temps=4, t_max=32.0),
     2: dict(walkers=512, sweeps=3000, burn_frac=0.4, thin=4),
-    3: dict(walkers=256, sweeps=6000, burn_frac=0.5, thin=8),
+    3: dict(walkers=256, sweeps=8000, burn_frac=0.5, thin=8,
+            temps=4, t_max=32.0),
 }
 
 
@@ -157,6 +162,19 @@ def run_config(num, builder):
                if k != "log_likelihood" and np.std(v) > 0
                and k in post_mc and np.std(post_mc[k]) > 0]
     js = posterior_js_divergences(post_ns, post_mc, sampled)
+    # estimator noise floor: JS between an NS-sized random MCMC subset
+    # and the rest of the chain — the finite-sample JS one measures
+    # between two IDENTICAL distributions at exactly the sample counts
+    # of the main comparison (the NS side's ~2k equal-weight draws
+    # dominate the noise)
+    rng = np.random.default_rng(1)
+    n_ns = len(post_ns[sampled[0]])
+    n_mc = len(post_mc[sampled[0]])
+    idx = rng.permutation(n_mc)
+    cut = min(n_ns, n_mc // 2)
+    sub_a = {k: np.asarray(post_mc[k])[idx[:cut]] for k in sampled}
+    sub_b = {k: np.asarray(post_mc[k])[idx[cut:]] for k in sampled}
+    js_floor = posterior_js_divergences(sub_a, sub_b, sampled)
     rhat = float(np.nanmax(ana.mcmc_result.rhat))
     row = {"config": num, "ns_wall_s": round(t_ns, 1),
            "mcmc_wall_s": round(t_mc, 1),
@@ -164,6 +182,7 @@ def run_config(num, builder):
            "logz": round(float(ana.result.logz), 2),
            "js_per_param": {k: round(float(v), 5) for k, v in js.items()},
            "js_max": round(float(max(js.values())), 5),
+           "js_floor_max": round(float(max(js_floor.values())), 5),
            "pass_js_lt_0p01": bool(max(js.values()) < 0.01)}
     print(json.dumps(row), flush=True)
     return row
