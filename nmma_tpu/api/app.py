@@ -144,10 +144,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length))
+            # run_nmma_model posts the webhook itself (once) when the
+            # payload carries a callback_url — the handler must not
+            # post again (the reference fires the callback exactly once)
             response = run_nmma_model(payload)
-            if payload.get("callback_url"):
-                response.update(post_webhook(payload["callback_url"],
-                                             response))
             body = json.dumps(response).encode()
             self.send_response(200)
         except Exception as exc:  # noqa: BLE001 — surface errors to client

@@ -420,11 +420,13 @@ def grb_afterglow_flux_density(t_obs_day, nu_obs, params,
     # EATS: per (ring, phi) element resample dynamics at the burster time
     # solving t_obs = (1+z)(t_b - mu R / c). The phi integral over
     # [0, pi] (mirror symmetry doubles it) has a SMOOTH integrand — flux
-    # depends on phi only through 1 - mu — so Gauss-Legendre nodes
-    # converge spectrally where the old midpoint rule converged at
-    # O(1/n^2): GL-12 matches midpoint-48 to < 0.01 mag on the GW170817
-    # off-axis config where midpoint-12 errs by 0.19 (see
-    # tests/test_grb.py::test_phi_quadrature). Weights are carried
+    # depends on phi only through 1 - mu — so both rules converge fast;
+    # Gauss-Legendre's spectral edge shows at very low order (measured on
+    # the GW170817 off-axis config vs midpoint-96: GL-4 0.21 mag where
+    # midpoint-4 errs 0.48; by n=8 both are < 0.008 and GL-12, the
+    # default, matches midpoint-48 to < 0.001 — pinned by
+    # tests/test_grb.py::test_phi_quadrature). GL is kept as default for
+    # the low-order safety margin at equal cost. Weights are carried
     # normalized to the caller's 2 pi / n_phi convention.
     if phi_quad == "gl":
         x_gl, w_gl = np.polynomial.legendre.leggauss(n_phi)

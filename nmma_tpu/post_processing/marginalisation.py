@@ -30,9 +30,18 @@ def marginalised_lightcurve_expectation(gw_samples, eos_set, lc_model,
     """
     rng = np.random.default_rng(seed)
     n = len(np.asarray(next(iter(gw_samples.values()))))
-    take = rng.choice(n, size=min(max_samples, n), replace=False)
+    weights = gw_samples.get("weight")
+    if weights is not None:
+        # weighted template inputs: importance-resample with p=weight
+        # (with replacement — the reference's idys draw,
+        # marginalisation.py:70-71); unweighted inputs keep the
+        # lower-variance without-replacement subsample
+        w = np.asarray(weights, dtype=float)
+        take = rng.choice(n, size=min(max_samples, n), p=w / w.sum())
+    else:
+        take = rng.choice(n, size=min(max_samples, n), replace=False)
     params = {k: jnp.asarray(np.asarray(v)[take]) for k, v in
-              gw_samples.items()}
+              gw_samples.items() if k != "weight"}
     n_used = len(take)
     if "EOS" not in params:
         params["EOS"] = jnp.asarray(

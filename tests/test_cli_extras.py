@@ -68,12 +68,13 @@ def test_service_plots_and_webhook(tmp_path):
 
     from nmma_tpu.api.app import AnalysisService
 
-    received = {}
+    received = {"count": 0}
 
     class Hook(BaseHTTPRequestHandler):
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             received["payload"] = json.loads(self.rfile.read(n))
+            received["count"] += 1
             self.send_response(200)
             self.end_headers()
 
@@ -111,6 +112,10 @@ def test_service_plots_and_webhook(tmp_path):
         assert len(out["plots"]["corner"]) > 5000        # non-trivial png
         assert out["webhook_status"] == 200
         assert received["payload"]["status"] == "success"
+        # the callback must fire exactly once (reference semantics) —
+        # ADVICE r4: run_nmma_model posts it; the HTTP handler must not
+        # post the same response a second time
+        assert received["count"] == 1, received["count"]
     finally:
         svc.stop()
         hook.shutdown()

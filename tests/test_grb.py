@@ -195,6 +195,34 @@ def test_grid_convergence():
         assert dmag.max() < 0.01, (key, float(dmag.max()))
 
 
+def test_phi_quadrature():
+    """Gauss-Legendre vs midpoint phi rules on the GW170817 off-axis
+    config (the anchor cited at models/grb.py phi_quad). The integrand is
+    smooth, so both rules converge quickly; GL's spectral advantage shows
+    at very low order (measured vs midpoint-96: GL-4 0.21 mag where
+    midpoint-4 errs 0.48; GL-12, the default, matches midpoint-48 to
+    <0.001 mag). Pins (a) the default's convergence and (b) the low-order
+    margin that justifies keeping GL."""
+    from nmma_tpu.models.grb import grb_afterglow_flux_density
+    t = np.geomspace(3.0, 1000.0, 40)
+    nu = np.array([3e9, 5e14])
+
+    def flux(n, quad):
+        return np.asarray(grb_afterglow_flux_density(
+            t, nu, GW170817_RYAN20, n_phi=n, phi_quad=quad))
+
+    def dmag(a, b):
+        return float(np.abs(2.5 * np.log10(a / b)).max())
+
+    mp48 = flux(48, "midpoint")
+    assert dmag(flux(12, "gl"), mp48) < 0.01       # default is converged
+    # spectral edge at the lowest orders: GL-4 at least 1.5x closer
+    err_gl4 = dmag(flux(4, "gl"), mp48)
+    err_mp4 = dmag(flux(4, "midpoint"), mp48)
+    assert err_gl4 < 0.3, err_gl4
+    assert err_mp4 > 1.5 * err_gl4, (err_gl4, err_mp4)
+
+
 def test_gw170817_radio_golden_morphology():
     """3 GHz light curve against the observed GW170817 afterglow
     (Makhathini et al. 2021 compilation: ~100 uJy peak at ~160 d, t^0.84

@@ -43,6 +43,41 @@ def test_marginalised_lightcurve_expectation(rng):
     assert 15.0 < np.nanmin(med) < 24.0
 
 
+def test_marginalised_expectation_honours_weights(rng):
+    """Weighted template inputs must importance-resample with p=weight
+    (the reference's idys draw, marginalisation.py:70-71): put all the
+    weight on the near-distance half of the posterior and the predicted
+    median band must brighten relative to the uniform-weight draw."""
+    from nmma_tpu.eos import load_macro_eos_set
+    from nmma_tpu.models import DetectorLightCurveModel
+    from nmma_tpu.post_processing.marginalisation import \
+        marginalised_lightcurve_expectation
+    n = 400
+    dist = np.concatenate([rng.normal(25, 1, n // 2),
+                           rng.normal(120, 2, n // 2)])
+    gw = dict(chirp_mass=rng.normal(1.1977, 0.001, n),
+              mass_ratio=rng.uniform(0.8, 1.0, n),
+              luminosity_distance=dist,
+              theta_jn=rng.uniform(0.1, 0.6, n))
+    eos_set = load_macro_eos_set(
+        "/root/reference/nmma/tests/data/eos_macro")
+    model = DetectorLightCurveModel(
+        "Me2017", ["ztfg"], sample_times=np.geomspace(0.5, 8, 20))
+    extra = dict(ratio_zeta=0.3, alpha=5e-5, log10_vej=-1.2,
+                 beta=3.0, log10_kappa_r=0.5)
+    w_near = np.where(dist < 70, 1.0, 1e-12)
+    near = marginalised_lightcurve_expectation(
+        dict(gw, weight=w_near), eos_set, model, extra_parameters=extra,
+        max_samples=100)
+    uniform = marginalised_lightcurve_expectation(
+        gw, eos_set, model, extra_parameters=extra, max_samples=100)
+    med_near = np.nanmedian(near[1])
+    med_uni = np.nanmedian(uniform[1])
+    # the 25-vs-120 Mpc split is ~3.4 mag of distance modulus; the
+    # weighted draw must land decisively on the bright side
+    assert med_near < med_uni - 1.0, (med_near, med_uni)
+
+
 def _write_coinc_xml(path, m1s, m2s):
     cols = ["event_id", "mass1", "mass2", "spin1z", "spin2z"]
     col_xml = "\n".join(
