@@ -278,30 +278,31 @@ def bench_cpu_keras_reference(svd, n_evals=30):
 
 
 def probe_pallas_health():
-    """Compile a tiny Mosaic kernel in a subprocess with a deadline."""
+    """Shared library probe (ops/pallas_health.py): jitted Mosaic kernel
+    compiled in a subprocess under a deadline, verdict persisted per
+    toolchain fingerprint so the production path and the bench agree."""
     if os.environ.get("NMMA_TPU_BENCH_NO_PALLAS"):
         return False, "disabled via NMMA_TPU_BENCH_NO_PALLAS"
-    code = (
-        "import numpy as np, jax, jax.numpy as jnp\n"
-        "import sys; sys.path.insert(0, %r)\n"
-        "from nmma_tpu.ops.pallas_me2017 import me2017_dynamics_pallas\n"
-        "t = jnp.asarray(np.geomspace(0.01, 14.0, 32), jnp.float32)\n"
-        "b = jnp.full((8,), -1.5, jnp.float32)\n"
-        "out = me2017_dynamics_pallas(b, b + 0.5, b + 4.5, b + 4.66, t)\n"
-        "[np.asarray(o) for o in (out if isinstance(out, tuple) else (out,))]"
-        "\nprint('ok')\n" % REPO
-    )
-    try:
-        t0 = time.perf_counter()
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=PALLAS_PROBE_TIMEOUT)
-        dt = time.perf_counter() - t0
-        if r.returncode == 0 and "ok" in r.stdout:
-            return True, f"probe compiled in {dt:.0f}s"
-        return False, f"probe rc={r.returncode}"
-    except subprocess.TimeoutExpired:
-        return False, f"probe exceeded {PALLAS_PROBE_TIMEOUT:.0f}s"
+    os.environ.setdefault("NMMA_TPU_PALLAS_PROBE_TIMEOUT",
+                          str(PALLAS_PROBE_TIMEOUT))
+    from nmma_tpu.ops.pallas_health import (_load_cache, probe_mosaic,
+                                            toolchain_fingerprint,
+                                            use_pallas_me2017)
+    ok = use_pallas_me2017()
+    entry = _load_cache().get(toolchain_fingerprint(), {})
+    note = entry.get("note", "env override")
+    if not ok and entry:
+        # bench runs want a fresh attempt even within the negative TTL:
+        # a service upgrade mid-day can heal the toolchain
+        ok2, note2 = probe_mosaic()
+        if ok2:
+            from nmma_tpu.ops import pallas_health
+            pallas_health._store_verdict(toolchain_fingerprint(), True,
+                                         note2)
+            pallas_health._MEMO.clear()
+            return True, note2
+        note = note2
+    return ok, note
 
 
 def main():

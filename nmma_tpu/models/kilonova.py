@@ -157,16 +157,22 @@ def _me2017_dynamics_vmap(axis_size, in_batched, log10_mej, log10_vej, beta,
                           kappa_r, t_days):
     """Batched rule: on TPU a whole live-point batch goes through the
     VMEM-resident Pallas kernel; elsewhere fall back to vmapped XLA."""
-    import os
     params_batched = in_batched[:4]
-    # NMMA_TPU_DISABLE_PALLAS=1 forces the XLA associative-scan form:
-    # the remote TPU toolchain's FIRST Mosaic compile in a process has
-    # been observed to take minutes during service upgrades (subsequent
-    # Mosaic compiles are ~1 s), and the XLA path is within ~10-20% of
-    # the Pallas kernel's throughput
+    # Pallas is used only when the Mosaic toolchain passes a bounded
+    # health probe (ops/pallas_health.py): the remote TPU toolchain's
+    # first Mosaic compile has been observed to take minutes during
+    # service upgrades, and the XLA path is within ~10-20% of the
+    # Pallas kernel's throughput — never stall a user minutes for that
+    # margin. The verdict is probed once per toolchain version and
+    # persisted; NMMA_TPU_DISABLE_PALLAS / NMMA_TPU_FORCE_PALLAS skip
+    # the probe entirely.
     if all(params_batched) and not in_batched[4] and \
-            jax.default_backend() == "tpu" and \
-            not os.environ.get("NMMA_TPU_DISABLE_PALLAS"):
+            jax.default_backend() == "tpu":
+        from ..ops.pallas_health import use_pallas_me2017
+        _pallas_ok = use_pallas_me2017()
+    else:
+        _pallas_ok = False
+    if _pallas_ok:
         from ..ops.pallas_me2017 import me2017_dynamics_pallas
         ltot, rphoto = me2017_dynamics_pallas(
             log10_mej, log10_vej, beta, kappa_r, t_days)
