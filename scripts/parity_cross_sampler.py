@@ -109,7 +109,15 @@ def _config3():
         model="TrPi2018", trigger_time=0.0, tmin=0.05, tmax=40.0,
         n_tsteps=64, error_budget=0.5,
         outdir=os.path.join(REPO, "outdir_grb"), label="parity_trpi2018",
-        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+        # production NS mixing (diagnosed in scripts/diag_config3.py /
+        # artifacts/diag_config3.json): at nlive=512/walks=16 the NS
+        # under-resolves the degenerate E0/n0/thetaCore ridge — JS vs a
+        # converged tempered MCMC (R-hat 1.028) peaked at 0.0125 on
+        # log10_E0, and JS(ns512, ns2048) itself is 0.0147, so the
+        # nlive=512 run disagrees with EVERYTHING including a bigger
+        # version of itself. At nlive=2048/walks=32 the NS agrees with
+        # the long-ladder MCMC to JS 0.0028 on every parameter.
+        sampler=NestedSamplerConfig(nlive=2048, n_delete=256, walks=32,
                                     dlogz=0.3, chunk_size=5))
     ana = EMAnalysis(cfg, data=data, priors=priors)
     # the GRB EATS intermediates are ~0.8 MB/eval ([Th, Ph, R] tensors);
@@ -125,13 +133,16 @@ def _config3():
 # 10000 sweeps measured R-hat 1.40) — it gets a parallel-tempering
 # ladder, whose replica exchange carries walkers across the degeneracy
 # ridge; config 3 (GRB) trades walkers for sweeps to bound the
-# batched-eval memory footprint
+# batched-eval memory footprint, and gets the LONG ladder (temps=6,
+# t_max=64, 20k sweeps → R-hat 1.028, vs 1.09 at the round-4 budget)
+# validated in scripts/diag_config3.py; chunk_sweeps=100 keeps each
+# device dispatch ~25 s, inside the remote transport's tolerance
 MCMC_SETTINGS = {
     1: dict(walkers=1024, sweeps=12000, burn_frac=0.5, thin=8,
             temps=4, t_max=32.0),
     2: dict(walkers=512, sweeps=3000, burn_frac=0.4, thin=4),
-    3: dict(walkers=256, sweeps=8000, burn_frac=0.5, thin=8,
-            temps=4, t_max=32.0),
+    3: dict(walkers=256, sweeps=20000, burn_frac=0.5, thin=8,
+            temps=6, t_max=64.0, chunk_sweeps=100),
 }
 
 

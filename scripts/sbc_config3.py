@@ -1,0 +1,120 @@
+"""Simulation-based calibration of the nested sampler ON THE CONFIG-3
+PRIOR (VERDICT r4 #1c): Talts et al. (2018) ranks for the TrPi2018 GRB
+PE, bounding NS calibration on the degenerate E0/n0/thetaCore trio.
+
+Each replication draws theta* from the config-3 prior, synthesizes the
+same 5-filter injection data the parity config uses, runs the NS at the
+parity settings, and records the posterior rank of theta* per free
+parameter. Uniform ranks over replications = calibrated posterior
+(catches over/under-dispersion AND directional bias per parameter —
+exactly the failure mode a cross-sampler JS excess on log10_E0 would
+imply if the NS were the biased sampler).
+
+Run on the TPU: python scripts/sbc_config3.py [n_reps]
+Writes artifacts/sbc_config3.json (resumable per replication).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT = os.path.join(REPO, "artifacts", "sbc_config3.json")
+
+PRIOR_TEXT = (
+    "log10_E0 = Uniform(minimum=49., maximum=54.)\n"
+    "thetaCore = Uniform(minimum=0.01, maximum=0.3)\n"
+    "thetaWing = 0.4\n"
+    "inclination_EM = Uniform(minimum=0., maximum=0.5)\n"
+    "log10_n0 = Uniform(minimum=-4., maximum=1.)\n"
+    "p = Uniform(minimum=2.01, maximum=2.9)\n"
+    "log10_epsilon_e = Uniform(minimum=-3., maximum=-0.3)\n"
+    "log10_epsilon_B = Uniform(minimum=-5., maximum=-0.5)\n"
+    "xi_N = 1.0\n"
+    "luminosity_distance = 350.0\n"
+    "timeshift = Uniform(minimum=-0.1, maximum=0.1)\n")
+FREE = ["log10_E0", "thetaCore", "inclination_EM", "log10_n0", "p",
+        "log10_epsilon_e", "log10_epsilon_B", "timeshift"]
+FILTERS = ["ztfg", "ztfr", "ztfi", "X-ray-1keV", "radio-6GHz"]
+
+
+def run_one(seed):
+    import jax
+    import jax.numpy as jnp
+
+    from nmma_tpu.analysis import EMAnalysis, EMAnalysisConfig
+    from nmma_tpu.inference import NestedSamplerConfig
+    from nmma_tpu.injections import create_light_curve_data
+    from nmma_tpu.priors import parse_prior_dict
+
+    jax.clear_caches()
+    rng = np.random.default_rng(1000 + seed)
+    priors = parse_prior_dict(PRIOR_TEXT)
+    u = rng.uniform(0.02, 0.98, priors.ndim)
+    theta = {k: float(np.asarray(v))
+             for k, v in priors.transform(jnp.asarray(u)).items()}
+    data = create_light_curve_data(
+        theta, "TrPi2018", FILTERS, tmin=0.1, tmax=30.0, n_tsteps=24,
+        seed=2000 + seed, injection_error_budget=0.2)
+    cfg = EMAnalysisConfig(
+        model="TrPi2018", trigger_time=0.0, tmin=0.05, tmax=40.0,
+        n_tsteps=64, error_budget=0.5,
+        outdir=os.path.join(REPO, "outdir_grb"), label=f"sbc3_{seed}",
+        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+                                    dlogz=0.3, chunk_size=5,
+                                    seed=3000 + seed))
+    ana = EMAnalysis(cfg, data=data, priors=parse_prior_dict(PRIOR_TEXT))
+    ana.MAX_DISPATCH_BATCH = 1024
+    t0 = time.time()
+    ana.run(verbose=False, checkpoint=False)
+    post = ana.posterior_samples(rng=rng)
+    return {"seed": seed, "wall_s": round(time.time() - t0, 1),
+            "logz": round(float(ana.result.logz), 2),
+            "ranks": {k: round(float(np.mean(post[k] < theta[k])), 4)
+                      for k in FREE},
+            "truth": {k: round(theta[k], 4) for k in FREE}}
+
+
+def main():
+    n_reps = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    report = {"reps": []}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            report = json.load(f)
+    done = {r["seed"] for r in report["reps"]}
+    for seed in range(n_reps):
+        if seed in done:
+            continue
+        row = run_one(seed)
+        report["reps"].append(row)
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(row), flush=True)
+
+    from scipy import stats
+    ranks = {k: np.array([r["ranks"][k] for r in report["reps"]])
+             for k in FREE}
+    summary = {}
+    for k, r in ranks.items():
+        ks = stats.kstest(r, "uniform")
+        summary[k] = {"ks_pvalue": round(float(ks.pvalue), 4),
+                      "mean_rank": round(float(r.mean()), 4)}
+    pooled = np.concatenate(list(ranks.values()))
+    report["summary"] = summary
+    report["pooled_ks_pvalue"] = round(
+        float(stats.kstest(pooled, "uniform").pvalue), 4)
+    report["n_reps"] = len(report["reps"])
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"summary": summary,
+                      "pooled_ks_pvalue": report["pooled_ks_pvalue"]},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
