@@ -109,6 +109,22 @@ def _cost_per_eval(logl, u):
         return float("nan"), float("nan")
 
 
+def _memory_floor_per_eval(logl, u):
+    """Real HBM-traffic floor per eval from the compiled executable's
+    memory analysis (codegen allocation sizes, NOT the cost model):
+    every argument (weights + data tensors + the proposal batch) and
+    every output must cross HBM at least once per call; temps may stay
+    in VMEM. See scripts/roofline_measured.py for the full treatment."""
+    try:
+        import jax
+        comp = jax.jit(logl).lower(u).compile()
+        ma = comp.memory_analysis()
+        floor = float(ma.argument_size_in_bytes + ma.output_size_in_bytes)
+        return floor / BATCH
+    except Exception:
+        return float("nan")
+
+
 def _profiled_device_rate(logl, u, iters=TIMED_ITERS):
     """Throughput from DEVICE busy time (profiler trace), immune to the
     tunnel's round-trip variance: union-merge the X-phase event
@@ -323,6 +339,7 @@ def main():
     _u = np.random.default_rng(0).uniform(
         0.05, 0.95, (BATCH, svd_ana.priors.ndim)).astype(np.float32)
     flops_ev, bytes_ev = _cost_per_eval(svd_ana.batched_logl, _u)
+    floor_ev = _memory_floor_per_eval(svd_ana.batched_logl, _u)
     dev_rate = _profiled_device_rate(_jax.jit(svd_ana.batched_logl),
                                      _jax.device_put(_u))
     rate_for_roofline = dev_rate or rate
@@ -391,6 +408,14 @@ def main():
             "roofline_note": "bytes=XLA cost model (VMEM-served reuse "
                              "counted); gbps>819 => VMEM-resident, "
                              "compute-limited",
+            # real HBM floor (codegen allocation sizes): arguments +
+            # outputs that must cross HBM once per call, divided over
+            # the batch — the measured-roofline anchor (VERDICT r4 #5;
+            # full per-op treatment in artifacts/roofline_measured.json)
+            "hbm_floor_bytes_per_eval": round(floor_ev, 1)
+            if np.isfinite(floor_ev) else None,
+            "hbm_floor_gbps": round(rate_for_roofline * floor_ev / 1e9, 2)
+            if np.isfinite(floor_ev) else None,
         },
     }
     print(json.dumps(result))
