@@ -67,13 +67,20 @@ def build():
     return ana
 
 
-def per_band_chi2(ana, bestfit, syst_mag):
-    """Host-side per-band chi2/dof at a parameter point (detections only)."""
+def bestfit_mags(ana, bestfit):
+    """Forward-model mags at a parameter point (jitted: eager op-by-op
+    dispatch on the axon remote backend takes seconds per op — see
+    .claude/skills/verify/SKILL.md)."""
+    import jax
     import jax.numpy as jnp
     params = {k: jnp.asarray(v) for k, v in bestfit.items()
               if k != "log_likelihood"}
-    obs_t, mags = ana.model(params)
-    mags = np.asarray(mags)
+    obs_t, mags = jax.jit(ana.model.__call__)(params)
+    return np.asarray(obs_t), np.asarray(mags)
+
+
+def per_band_chi2(ana, obs_t, mags, syst_mag):
+    """Host-side per-band chi2/dof at a parameter point (detections only)."""
     out = {}
     for i, f in enumerate(ana.filters):
         d = ana.data_dict[f]
@@ -81,7 +88,7 @@ def per_band_chi2(ana, bestfit, syst_mag):
         mm = np.asarray(d["mag"])
         ee = np.asarray(d["mag_error"])
         det = np.isfinite(ee)
-        mod = np.interp(np.log(tt[det]), np.log(np.asarray(obs_t)), mags[i])
+        mod = np.interp(np.log(tt[det]), np.log(obs_t), mags[i])
         sig2 = ee[det] ** 2 + syst_mag ** 2
         out[f] = round(float(np.mean((mod - mm[det]) ** 2 / sig2)), 2)
     return out
@@ -96,6 +103,7 @@ def main():
     best = ana.bestfit_parameters()
     q = np.percentile(post["em_syserr"], [5, 50, 95])
     syst_med = float(q[1])
+    obs_t, mags = bestfit_mags(ana, best)
     report = {
         "wall_s": round(wall, 1),
         "logz": round(float(ana.result.logz), 2),
@@ -103,8 +111,9 @@ def main():
                                 "median": round(syst_med, 4),
                                 "p95": round(float(q[2]), 4)},
         "bestfit": {k: round(float(v), 3) for k, v in best.items()},
-        "chi2_dof_raw": per_band_chi2(ana, best, 0.0),
-        "chi2_dof_with_median_syst": per_band_chi2(ana, best, syst_med),
+        "chi2_dof_raw": per_band_chi2(ana, obs_t, mags, 0.0),
+        "chi2_dof_with_median_syst": per_band_chi2(ana, obs_t, mags,
+                                                   syst_med),
         "posterior_medians": {
             k: round(float(np.median(v)), 3) for k, v in post.items()
             if k != "log_likelihood" and np.std(v) > 0},
