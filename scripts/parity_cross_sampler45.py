@@ -71,7 +71,10 @@ def _config4():
         tmin=0.02, tmax=40.0, n_tsteps=100, error_budget=1.0,
         outdir=os.path.join(REPO, "outdir_grb211211a"),
         label="parity_config4",
-        sampler=NestedSamplerConfig(nlive=512, n_delete=64, walks=16,
+        # nlive 1024 (not 512): the config-3 parity fail was traced to NS
+        # under-resolution at nlive=512 (scripts/diag_config3.py) — give
+        # the joint config the same resolution headroom
+        sampler=NestedSamplerConfig(nlive=1024, n_delete=128, walks=16,
                                     dlogz=0.3, chunk_size=5))
     ana = EMAnalysis(cfg, data=data, priors=priors)
     ana.MAX_DISPATCH_BATCH = 1024
@@ -126,7 +129,7 @@ def _floor(post_mc, post_ns, sampled, seed=1):
     return posterior_js_divergences(sub_a, sub_b, sampled)
 
 
-def _row(num, post_ns, post_mc, t_ns, t_mc, rhat, logz):
+def _row(num, post_ns, post_mc, t_ns, t_mc, rhat, logz, rhat_names=None):
     from nmma_tpu.post_processing.parity import posterior_js_divergences
     from nmma_tpu.post_processing.plotting_routines import plot_multi_corner
     sampled = [k for k, v in post_ns.items()
@@ -141,14 +144,18 @@ def _row(num, post_ns, post_mc, t_ns, t_mc, rhat, logz):
                                f"parity_corner_config{num}.png"))
     floor_max = float(max(js_floor.values()))
     js_max = float(max(js.values()))
-    return {"config": num, "ns_wall_s": round(t_ns, 1),
-            "mcmc_wall_s": round(t_mc, 1),
-            "mcmc_max_rhat": round(float(rhat), 3),
-            "logz": round(float(logz), 2),
-            "js_per_param": {k: round(float(v), 5) for k, v in js.items()},
-            "js_max": round(js_max, 5),
-            "js_floor_max": round(floor_max, 5),
-            "pass_js_lt_0p01": bool(js_max < max(0.01, 2 * floor_max))}
+    row = {"config": num, "ns_wall_s": round(t_ns, 1),
+           "mcmc_wall_s": round(t_mc, 1),
+           "mcmc_max_rhat": round(float(np.nanmax(rhat)), 3),
+           "logz": round(float(logz), 2),
+           "js_per_param": {k: round(float(v), 5) for k, v in js.items()},
+           "js_max": round(js_max, 5),
+           "js_floor_max": round(floor_max, 5),
+           "pass_js_lt_0p01": bool(js_max < max(0.01, 2 * floor_max))}
+    if rhat_names is not None:
+        row["mcmc_rhat_per_param"] = {
+            n: round(float(r), 4) for n, r in zip(rhat_names, np.atleast_1d(rhat))}
+    return row
 
 
 def run_config4():
@@ -163,12 +170,18 @@ def run_config4():
     post_ns = ana.posterior_samples(rng=np.random.default_rng(0))
     jax.clear_caches()
     t0 = time.time()
+    # the short ladder (temps=4, t_max=32, 12k sweeps) left the chains at
+    # R-hat 1.232 on this 11-parameter joint posterior; the LONG ladder
+    # that converged config 3 (temps=6, t_max=64 — replica exchange over
+    # the E0/n0/thetaCore ridge) with doubled sweeps and fewer walkers
+    # keeps the eval budget ~1.5x while tripling per-chain length
     post_mc = ana.run_mcmc(EnsembleMCMCConfig(
-        seed=ana.config.sampler.seed + 1, walkers=256, sweeps=12000,
-        burn_frac=0.5, thin=8, temps=4, t_max=32.0, chunk_sweeps=100))
+        seed=ana.config.sampler.seed + 1, walkers=128, sweeps=24000,
+        burn_frac=0.5, thin=16, temps=6, t_max=64.0, chunk_sweeps=100))
     t_mc = time.time() - t0
     return _row(4, post_ns, post_mc, t_ns, t_mc,
-                np.nanmax(ana.mcmc_result.rhat), ana.result.logz)
+                ana.mcmc_result.rhat, ana.result.logz,
+                rhat_names=ana.priors.sampled_names)
 
 
 def run_config5():
@@ -200,16 +213,20 @@ def run_config5():
         jnp.asarray(res.samples_u[idx])).items()}
 
     jax.clear_caches()
+    # 6k sweeps ran in 86 s but left R-hat at 2.47 — the EOS axis is a
+    # staircase (the index selects discrete macro tables) that stretch
+    # moves cross slowly; the likelihood is cheap here, so buy a 5x
+    # longer chain with the long ladder instead of excusing the R-hat
     mc = EnsembleMCMC(batched, priors.ndim, EnsembleMCMCConfig(
-        seed=43, walkers=512, sweeps=6000, burn_frac=0.4, thin=4,
-        temps=4, t_max=32.0, chunk_sweeps=200))
+        seed=43, walkers=512, sweeps=30000, burn_frac=0.5, thin=16,
+        temps=6, t_max=64.0, chunk_sweeps=200))
     t0 = time.time()
     mres = mc.run(verbose=True)
     t_mc = time.time() - t0
     post_mc = {k: np.asarray(v) for k, v in jax.jit(priors.transform)(
         jnp.asarray(mres.samples_u)).items()}
     return _row(5, post_ns, post_mc, t_ns, t_mc,
-                np.nanmax(mres.rhat), res.logz)
+                mres.rhat, res.logz, rhat_names=priors.sampled_names)
 
 
 def _merge_write(row):
