@@ -61,6 +61,19 @@ def run_one(seed):
     data = create_light_curve_data(
         theta, "TrPi2018", FILTERS, tmin=0.1, tmax=30.0, n_tsteps=24,
         seed=2000 + seed, injection_error_budget=0.2)
+    # ultra-faint off-axis draws synthesize +inf magnitudes everywhere in
+    # a band, which create_light_curve_data drops point-by-point — remove
+    # the resulting EMPTY filters; if NO data survives at all the
+    # posterior IS the prior, so the rank of theta* is analytically its
+    # prior-CDF value = the unit draw (uniform by construction, zero
+    # selection bias — unlike skipping the replication)
+    data = {f: sub for f, sub in data.items() if len(sub["time"]) > 0}
+    if not data:
+        names = priors.sampled_names
+        return {"seed": seed, "wall_s": 0.0, "logz": 0.0, "no_data": True,
+                "ranks": {k: round(float(u[names.index(k)]), 4)
+                          for k in FREE},
+                "truth": {k: round(theta[k], 4) for k in FREE}}
     cfg = EMAnalysisConfig(
         model="TrPi2018", trigger_time=0.0, tmin=0.05, tmax=40.0,
         n_tsteps=64, error_budget=0.5,
