@@ -151,10 +151,22 @@ def main():
     _write(report)
 
     sampled = [k for k in KEYS if k in post_a and np.std(post_a[k]) > 0]
-    for name, (x, y) in {
-            "js_ns1024_vs_ns2048": (post_a, post_b),
-            "js_ns1024_vs_mcmc48k": (post_a, post_c),
-            "js_ns2048_vs_mcmc48k": (post_b, post_c)}.items():
+    pairs = {
+        "js_ns1024_vs_ns2048": (post_a, post_b),
+        "js_ns1024_vs_mcmc48k": (post_a, post_c),
+        "js_ns2048_vs_mcmc48k": (post_b, post_c)}
+    # cross-MCMC convergence evidence: the parity run saved its own
+    # tempered-MCMC posterior (24k sweeps, independent seed/ladder) —
+    # two independent MCMCs agreeing at the floor is stronger than an
+    # R-hat threshold (pre-check: short-vs-long ladders already agree at
+    # js(beta)=0.0011 while BOTH sit 0.010-0.015 from the NS)
+    mcmc_parity_csv = os.path.join(
+        REPO, "outdir_grb211211a", "parity_config4_mcmc_posterior_samples.csv")
+    if os.path.exists(mcmc_parity_csv):
+        arr = np.genfromtxt(mcmc_parity_csv, names=True, delimiter=",")
+        post_m24 = {k: np.asarray(arr[k]) for k in arr.dtype.names}
+        pairs["js_mcmc24k_vs_mcmc48k"] = (post_m24, post_c)
+    for name, (x, y) in pairs.items():
         js = posterior_js_divergences(x, y, sampled)
         report[name] = {k: round(float(v), 5) for k, v in js.items()}
         report[name + "_max"] = round(float(max(js.values())), 5)
