@@ -121,6 +121,16 @@ def main():
     report["summary"] = summary
     report["pooled_ks_pvalue"] = round(
         float(stats.kstest(pooled, "uniform").pvalue), 4)
+    report["pooled_caveat"] = (
+        "pooled KS treats the 8 ranks within one replication as "
+        "independent; they share a posterior and are correlated, so this "
+        "p-value is anti-conservative — judge calibration by the "
+        "per-parameter tests + the family-wise bound below")
+    # family-wise verdict over the 8 per-parameter KS tests (Sidak);
+    # each parameter's ranks ARE independent across replications
+    min_p = min(v["ks_pvalue"] for v in summary.values())
+    report["familywise_sidak_pvalue"] = round(
+        float(1.0 - (1.0 - min_p) ** len(summary)), 4)
     report["n_reps"] = len(report["reps"])
     with open(OUT, "w") as f:
         json.dump(report, f, indent=2)
